@@ -1,0 +1,55 @@
+"""Canonical scenes from the reference example inputs.
+
+These build the exact systems of the reference inputs so golden-log tests and
+benchmarks share one construction path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.box import Box
+from ..core.lattice import Lattice, create_atoms_box
+from ..core.state import State
+
+
+#: MoS2 2H lattice from USER-REBOMOS/in.rebomos-bulk:3-12.
+MOS2_A1 = (3.1903157234, 0.0, 0.0)
+MOS2_A2 = (-1.5964590311, 2.7651481541, 0.0)
+MOS2_A3 = (0.0, 0.0, 13.9827680588)
+MOS2_BASIS = (
+    (0.0, 0.0, 3.0 / 4.0),
+    (0.0, 0.0, 1.0 / 4.0),
+    (2.0 / 3.0, 1.0 / 3.0, 0.862008989),
+    (1.0 / 3.0, 2.0 / 3.0, 0.137990996),
+    (1.0 / 3.0, 2.0 / 3.0, 0.362008989),
+    (2.0 / 3.0, 1.0 / 3.0, 0.637991011),
+)
+MOS2_BASIS_TYPES = (1, 1, 2, 2, 2, 2)      # Mo Mo S S S S
+MOS2_MASSES = (95.95, 32.065)              # in.rebomos-bulk:24-25
+
+
+def mos2_lattice(origin=(0.1, 0.1, 0.1)) -> Lattice:
+    return Lattice.custom(1.0, MOS2_A1, MOS2_A2, MOS2_A3,
+                          MOS2_BASIS, origin=origin)
+
+
+def rebomos_bulk(nx: int = 4, ny: int = 8, nz: int = 1, tilt_xy: float = -2.0,
+                 dtype=jnp.float64):
+    """The in.rebomos-bulk scene, optionally replicated.
+
+    Defaults give the golden 288-atom cell:
+      region box prism 0 4 0 8 0 1 -2.0 0.0 0.0  (lattice units)
+      -> triclinic (0,0,0)..(19.147099, 22.121185, 13.982768), xy=-9.5735495
+      (log.rebomos-bulk.1:21).
+    """
+    lat = mos2_lattice()
+    sx, sy, sz = lat.spacings()
+    box = Box.triclinic(lx=nx * sx, ly=ny * sy, lz=nz * sz,
+                        xy=tilt_xy * sx, dtype=dtype)
+    pos, types = create_atoms_box(lat, box, MOS2_BASIS_TYPES)
+    mass = np.array([0.0, *MOS2_MASSES])
+    state = State.create(x=jnp.asarray(pos, dtype=dtype), type=types,
+                         box=box, mass=mass, dtype=dtype)
+    return state

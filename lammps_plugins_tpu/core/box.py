@@ -1,0 +1,152 @@
+"""Triclinic simulation box and periodic boundary machinery.
+
+TPU-native equivalent of LAMMPS's Domain (SURVEY.md section 2.4): the box is a
+3x3 cell matrix in LAMMPS "restricted triclinic" form,
+
+    H = [[lx, 0,  0 ],
+         [xy, ly, 0 ],
+         [xz, yz, lz]]          (rows are the edge vectors a, b, c)
+
+with Cartesian position r = lo + f @ H for fractional coordinate f.  All
+operations are pure jnp functions usable under jit/grad.  Periodicity beyond
+minimum-image range (the REBOMOS example has cutoff > L/2, see
+log.rebomos-bulk.1:43-45 showing 4285 ghosts for 288 atoms) is handled by the
+ghost/image expansion in neighbor/ghost.py, not here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Box:
+    """Periodic triclinic box. `h` rows are edge vectors; `lo` is the origin."""
+
+    h: jnp.ndarray          # [3,3], lower-triangular (restricted triclinic)
+    lo: jnp.ndarray         # [3]
+    periodic: Tuple[bool, bool, bool] = (True, True, True)
+
+    # -- pytree plumbing ---------------------------------------------------
+    def tree_flatten(self):
+        return (self.h, self.lo), self.periodic
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        h, lo = children
+        return cls(h=h, lo=lo, periodic=aux)
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def orthogonal(cls, lengths, lo=(0.0, 0.0, 0.0), periodic=(True,) * 3,
+                   dtype=jnp.float64):
+        h = jnp.diag(jnp.asarray(lengths, dtype=dtype))
+        return cls(h=h, lo=jnp.asarray(lo, dtype=dtype), periodic=tuple(periodic))
+
+    @classmethod
+    def triclinic(cls, lx, ly, lz, xy=0.0, xz=0.0, yz=0.0,
+                  lo=(0.0, 0.0, 0.0), periodic=(True,) * 3, dtype=jnp.float64):
+        """LAMMPS-style box from edge lengths and tilt factors."""
+        h = jnp.array([[lx, 0.0, 0.0],
+                       [xy, ly, 0.0],
+                       [xz, yz, lz]], dtype=dtype)
+        return cls(h=h, lo=jnp.asarray(lo, dtype=dtype), periodic=tuple(periodic))
+
+    # -- geometry ----------------------------------------------------------
+    @property
+    def h_inv(self) -> jnp.ndarray:
+        """Closed-form inverse of the lower-triangular cell matrix.
+
+        (Avoids jnp.linalg.inv, which lowers to an LU decomposition that TPU
+        does not implement for f64; the restricted-triclinic form makes the
+        inverse analytic anyway.)
+        """
+        h = self.h
+        lx, ly, lz = h[0, 0], h[1, 1], h[2, 2]
+        xy, xz, yz = h[1, 0], h[2, 0], h[2, 1]
+        zero = jnp.zeros_like(lx)
+        return jnp.stack([
+            jnp.stack([1.0 / lx, zero, zero]),
+            jnp.stack([-xy / (lx * ly), 1.0 / ly, zero]),
+            jnp.stack([(xy * yz - ly * xz) / (lx * ly * lz),
+                       -yz / (ly * lz), 1.0 / lz]),
+        ])
+
+    @property
+    def volume(self) -> jnp.ndarray:
+        h = self.h
+        return jnp.abs(h[0, 0] * h[1, 1] * h[2, 2])
+
+    @property
+    def lengths(self) -> jnp.ndarray:
+        """Edge vector lengths |a|, |b|, |c|."""
+        return jnp.linalg.norm(self.h, axis=1)
+
+    def perpendicular_widths(self) -> jnp.ndarray:
+        """Distance between opposite box faces along each axis.
+
+        Used to size the ghost-image shells: an image cell at shift n along
+        axis d can only reach within `cutoff` of the home cell if
+        (|n|-1) * width[d] < cutoff.
+        """
+        vol = self.volume
+        a, b, c = self.h[0], self.h[1], self.h[2]
+        wa = vol / jnp.linalg.norm(jnp.cross(b, c))
+        wb = vol / jnp.linalg.norm(jnp.cross(c, a))
+        wc = vol / jnp.linalg.norm(jnp.cross(a, b))
+        return jnp.stack([wa, wb, wc])
+
+    def cell_angles_deg(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(alpha, beta, gamma) in degrees; gamma is LAMMPS thermo `cellgamma`
+        (angle between edge vectors a and b), cf. log.rebomos-bulk.1:54."""
+        a, b, c = self.h[0], self.h[1], self.h[2]
+        la, lb, lc = (jnp.linalg.norm(v) for v in (a, b, c))
+        alpha = jnp.degrees(jnp.arccos(jnp.dot(b, c) / (lb * lc)))
+        beta = jnp.degrees(jnp.arccos(jnp.dot(a, c) / (la * lc)))
+        gamma = jnp.degrees(jnp.arccos(jnp.dot(a, b) / (la * lb)))
+        return alpha, beta, gamma
+
+    # -- coordinate transforms --------------------------------------------
+    def to_fractional(self, x: jnp.ndarray) -> jnp.ndarray:
+        return (x - self.lo) @ self.h_inv
+
+    def from_fractional(self, f: jnp.ndarray) -> jnp.ndarray:
+        return f @ self.h + self.lo
+
+    def wrap(self, x: jnp.ndarray, image: jnp.ndarray | None = None):
+        """Wrap positions into the primary cell; update integer image flags.
+
+        Mirrors LAMMPS Domain::pbc + image counters: the returned image
+        counts how many box translations were applied so `unmap` can recover
+        the continuous trajectory (fix_bfield.cpp:417 uses domain->unmap).
+        """
+        f = self.to_fractional(x)
+        shift = jnp.floor(f)
+        per = jnp.asarray(self.periodic)
+        shift = jnp.where(per[None, :], shift, 0.0)
+        xw = self.from_fractional(f - shift)
+        if image is None:
+            return xw, shift.astype(jnp.int32)
+        return xw, image + shift.astype(jnp.int32)
+
+    def unmap(self, x: jnp.ndarray, image: jnp.ndarray) -> jnp.ndarray:
+        """Continuous (unwrapped) coordinates from wrapped x + image flags."""
+        return x + image.astype(x.dtype) @ self.h
+
+    # -- host-side helpers (numpy, used by scene builders) -----------------
+    def corners(self) -> np.ndarray:
+        """The 8 Cartesian corners of the box (host-side numpy)."""
+        h = np.asarray(self.h)
+        lo = np.asarray(self.lo)
+        out = []
+        for i in (0, 1):
+            for j in (0, 1):
+                for k in (0, 1):
+                    out.append(lo + i * h[0] + j * h[1] + k * h[2])
+        return np.array(out)

@@ -1,0 +1,61 @@
+"""Fix interface — ordered hook composition, TPU-style.
+
+LAMMPS dispatches fixes through bitmask hooks in definition order
+(fix_bfield.cpp:120-127 registers INITIAL_INTEGRATE | POST_INTEGRATE |
+POST_FORCE; Verlet::run calls them in the order shown in SURVEY.md 3.1).
+Here every hook is a pure function State -> State, and the whole step is one
+fused, jit-compatible composition — fix-private persistent variables (NH
+chain state, bfield's v0 snapshot) live in `state.extras` so the step stays
+a pure pytree map usable under lax.scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..core.state import State
+from ..core.units import UnitSystem
+
+
+@dataclasses.dataclass
+class StepContext:
+    """Static per-run parameters visible to every hook."""
+
+    units: UnitSystem
+    dt: float
+
+    @property
+    def dtf(self) -> float:
+        """0.5 * dt * ftm2v — the half-kick prefactor (fix_bfield.cpp:204)."""
+        return 0.5 * self.dt * self.units.ftm2v
+
+
+class Fix:
+    """Base fix: hooks default to identity. `time_integrate` marks NVE-style
+    integrators (checked by fix bfield ordering, fix_bfield.cpp:206-219)."""
+
+    name: str = "fix"
+    time_integrate: bool = False
+
+    def setup(self, state: State, ctx: StepContext) -> State:
+        """Called once before a run (allocate extras, validate)."""
+        return state
+
+    def initial_integrate(self, state: State, ctx: StepContext) -> State:
+        return state
+
+    def post_integrate(self, state: State, ctx: StepContext) -> State:
+        return state
+
+    def post_force(self, state: State, ctx: StepContext) -> State:
+        return state
+
+    def final_integrate(self, state: State, ctx: StepContext) -> State:
+        return state
+
+    def end_of_step(self, state: State, ctx: StepContext) -> State:
+        return state
+
+    def energy(self, state: State, ctx: StepContext):
+        """compute_scalar() analogue; contribution to thermo if requested."""
+        return 0.0

@@ -1,0 +1,102 @@
+"""Fixed-shape neighbor structures — TPU-native equivalent of LAMMPS lists.
+
+LAMMPS builds ragged binned lists (ilist/numneigh/firstneigh, MyPage pools —
+pair_rebomos.cpp:281-352) plus ghost atoms maintained by MPI communication.
+The TPU-native design replaces both with:
+
+  * `Ghosts`: a static (per-rebuild) table of periodic images — (owner atom,
+    integer cell shift).  Ghost *positions* are recomputed from owned
+    positions inside every energy evaluation, so d(ghost)/d(owner) = identity
+    and autodiff delivers image reaction forces with no reverse-comm
+    (pair_aeam.cpp:257 comm->reverse_comm has no analogue here).
+  * `NeighborList`: dense padded [N, K] int32 indices into the
+    owned+ghost position array, plus a validity mask.  Padded slots are
+    masked in every energy term; no pointers, no pages, no overflow errors
+    (cf. pair_rebomos.cpp:349-350).
+
+All structures are pytrees of device arrays with static shapes; the *build*
+step runs host-side (numpy cell binning, see build.py) and is amortized over
+many fused simulation steps via the half-skin displacement trigger.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Ghosts:
+    """Periodic-image table: ghost g is owner[g] translated by shift[g] @ H."""
+
+    owner: jnp.ndarray   # [Mg] int32 indices into owned atoms
+    shift: jnp.ndarray   # [Mg,3] image shifts (float dtype for the matmul)
+
+    def tree_flatten(self):
+        return (self.owner, self.shift), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def count(self) -> int:
+        return self.owner.shape[0]
+
+    def all_positions(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+        """[N+Mg, 3] owned positions followed by ghost images (differentiable
+        w.r.t. x — the heart of the no-comm force design)."""
+        ghost_x = x[self.owner] + self.shift.astype(x.dtype) @ h
+        return jnp.concatenate([x, ghost_x], axis=0)
+
+    def all_types(self, types: jnp.ndarray) -> jnp.ndarray:
+        return jnp.concatenate([types, types[self.owner]], axis=0)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class NeighborList:
+    """Dense padded neighbor list over owned centers.
+
+    idx[i, k] indexes into the [N+Mg] owned+ghost array; mask[i, k] marks
+    valid slots.  Padded idx entries are 0 (safe to gather; always masked).
+    """
+
+    idx: jnp.ndarray    # [N, K] int32
+    mask: jnp.ndarray   # [N, K] bool
+
+    def tree_flatten(self):
+        return (self.idx, self.mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def capacity(self) -> int:
+        return self.idx.shape[1]
+
+
+def edge_vectors(x: jnp.ndarray, ghosts: Ghosts, nlist: NeighborList,
+                 h: jnp.ndarray, strain: jnp.ndarray | None = None):
+    """Per-edge displacement vectors d[i,k] = x_neighbor - x_center.
+
+    `strain` (3x3, typically zeros) implements the virial as a strain
+    derivative: every energy term depends on positions only through these
+    displacement vectors, so W = -dE/dstrain equals the ev_tally /
+    virial_fdotr accumulation of the reference (pair_rebomos.cpp:110) for
+    conservative forces.
+
+    Returns (d [N,K,3], rsq_safe [N,K], mask).  rsq on masked slots is
+    replaced by 1.0 so sqrt/reciprocal never see zero (autodiff-safe padding).
+    """
+    x_all = ghosts.all_positions(x, h)
+    d = x_all[nlist.idx] - x[:, None, :]
+    if strain is not None:
+        d = d @ (jnp.eye(3, dtype=d.dtype) + strain)
+    rsq = jnp.sum(d * d, axis=-1)
+    rsq_safe = jnp.where(nlist.mask, rsq, 1.0)
+    return d, rsq_safe, nlist.mask

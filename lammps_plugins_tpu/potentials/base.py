@@ -1,0 +1,70 @@
+"""Pair-style interface and plugin registry.
+
+TPU-native analogue of the LAMMPS plugin registration protocol
+(USER-AEAM/aeamplugin.cpp:14-28 etc. register factory creators with the host):
+pair styles and fixes register themselves by name in a Python registry, and
+scenes instantiate them LAMMPS-style (`pair_style rebomos`,
+`pair_coeff * * file elems...`).
+
+A PairStyle is fundamentally one differentiable function
+
+    E(x, strain) -> scalar potential energy
+
+over fixed-shape neighbor structures.  Forces are exact autodiff gradients —
+the reference's hand-written force loops (pair_rebomos.cpp:571-847,
+pair_aeam.cpp:309-476) are the analytic gradients of its energy, so
+grad(E) reproduces them to rounding — and the virial is the strain
+derivative, which equals virial_fdotr_compute for conservative forces.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..neighbor.build import NeighborData
+
+
+class PairStyle:
+    """Base class: subclasses implement neighbor_requests() and energy()."""
+
+    name: str = "none"
+
+    def neighbor_requests(self) -> Mapping[str, np.ndarray]:
+        """name -> cutoff (scalar or [T+1,T+1] per-type-pair matrix)."""
+        raise NotImplementedError
+
+    def energy(self, x: jnp.ndarray, strain: jnp.ndarray,
+               types: jnp.ndarray, nbr: NeighborData,
+               h: jnp.ndarray) -> jnp.ndarray:
+        """Total potential energy (pure function; jit/grad-safe)."""
+        raise NotImplementedError
+
+    def max_cutoff(self) -> float:
+        return max(float(np.max(np.asarray(c)))
+                   for c in self.neighbor_requests().values())
+
+    # ------------------------------------------------------------------
+    def energy_force_virial(self, x, types, nbr, h):
+        """(E, F, W): energy, forces = -dE/dx, virial tensor = -dE/dstrain."""
+        strain0 = jnp.zeros((3, 3), dtype=x.dtype)
+
+        def e(x_, s_):
+            return self.energy(x_, s_, types, nbr, h)
+
+        E, (gx, gs) = jax.value_and_grad(e, argnums=(0, 1))(x, strain0)
+        return E, -gx, -gs
+
+    def forces(self, x, types, nbr, h):
+        strain0 = jnp.zeros((3, 3), dtype=x.dtype)
+        return -jax.grad(lambda x_: self.energy(x_, strain0, types, nbr, h))(x)
+
+
+# registries live in ..registry (shared with fixes); re-exported here
+from ..registry import (  # noqa: E402,F401
+    PAIR_STYLES, FIX_STYLES, register_pair_style, register_fix_style,
+    create_pair_style, create_fix_style,
+)

@@ -35,6 +35,23 @@ def mos2_lattice(origin=(0.1, 0.1, 0.1)) -> Lattice:
                           MOS2_BASIS, origin=origin)
 
 
+def alsi_sample(nc: int = 20, si_fraction: float = 0.0075, seed: int = 7683797,
+                a: float = 4.045, dtype=jnp.float64):
+    """The USER-AEAM/sample.in scene: nc^3-cell fcc Al box with a random
+    Si substitution fraction (sample.in:8-19).  Default nc=20 -> 32,000
+    atoms.  Si selection is statistically equivalent to LAMMPS `set
+    type/fraction` (coordinate-hashed RNG; no golden log constrains it)."""
+    from ..fixes.velocity import set_type_fraction
+
+    lat = Lattice.fcc(a)
+    box = Box.orthogonal([a * nc] * 3, dtype=dtype)
+    pos, types = create_atoms_box(lat, box, [1, 1, 1, 1])
+    mass = np.array([0.0, 27.0, 28.0])     # AlSi.aeam per-element masses
+    state = State.create(x=jnp.asarray(pos, dtype=dtype), type=types,
+                         box=box, mass=mass, dtype=dtype)
+    return set_type_fraction(state, 2, si_fraction, seed)
+
+
 def rebomos_bulk(nx: int = 4, ny: int = 8, nz: int = 1, tilt_xy: float = -2.0,
                  dtype=jnp.float64):
     """The in.rebomos-bulk scene, optionally replicated.

@@ -121,7 +121,9 @@ class Engine:
         """Compute forces/pe/W at the current positions (LAMMPS setup())."""
         if self.nbr is None or self.nbr.needs_rebuild(self.state.x):
             self.rebuild_neighbors()
-        pe, force, W = jax.jit(self.pair.energy_force_virial)(
+        if not hasattr(self, "_efv_jit"):
+            self._efv_jit = jax.jit(self.pair.energy_force_virial)
+        pe, force, W = self._efv_jit(
             self.state.x, self.state.type, self.nbr, self.state.box.h)
         self.state = self.state.replace(f=force)
         return pe, W

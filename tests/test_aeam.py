@@ -1,0 +1,137 @@
+"""AEAM unit + integration tests.
+
+The reference ships no golden log for AEAM (SURVEY.md section 4), so the
+oracles are: literal file values, spline interpolation fidelity, finite-
+difference force checks, Newton's third law, and NVE energy conservation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lammps_plugins_tpu.core import units
+from lammps_plugins_tpu.core.box import Box
+from lammps_plugins_tpu.core.lattice import Lattice, create_atoms_box
+from lammps_plugins_tpu.core.state import State
+from lammps_plugins_tpu.fixes.nve import FixNVE
+from lammps_plugins_tpu.neighbor.build import build_neighbor_data
+from lammps_plugins_tpu.potentials.aeam import AEAM
+from lammps_plugins_tpu.potentials.spline import make_spline
+from lammps_plugins_tpu.potentials.tables import read_aeam
+from lammps_plugins_tpu.run.simulation import Engine
+
+
+@pytest.fixture(scope="module")
+def aeam_tables(aeam_file):
+    return read_aeam(aeam_file)
+
+
+@pytest.fixture(scope="module")
+def aeam_pair(aeam_file):
+    return AEAM.from_file(aeam_file, ["Al", "Si"])
+
+
+def _alsi_system(nc=3, si_sites=(5, 17), a=4.045, kick=0.0, seed=0):
+    lat = Lattice.fcc(a)
+    box = Box.orthogonal([a * nc] * 3)
+    pos, types = create_atoms_box(lat, box, [1, 1, 1, 1])
+    types = np.asarray(types).copy()
+    for s in si_sites:
+        types[s % len(types)] = 2
+    if kick:
+        rng = np.random.default_rng(seed)
+        pos = pos + rng.normal(scale=kick, size=pos.shape)
+    return pos, types, box
+
+
+def test_read_aeam_header(aeam_tables):
+    t = aeam_tables
+    # AlSi.aeam:12 "2 1 1 Al Si"
+    assert t.nelements == 2 and t.nnonangular == 1 and t.nangular == 1
+    assert t.elements == ["Al", "Si"]
+    assert t.nrho[0] == 10000 and t.nr[0, 0] == 10000
+    assert abs(t.drho[0] - 0.17795153929100680e-2) < 1e-18
+    assert t.mass[0] == 27 and t.mass[1] == 28
+    # cutoffs 6.5 / 4.18 / 5.28 (AlSi.aeam:14-17)
+    assert t.cut[0, 0] == 6.5
+    assert t.cut[0, 1] == 4.18 and t.cut[1, 0] == 4.18
+    assert t.cut[1, 1] == 5.28
+    # first values of the Al F(rho) block (AlSi.aeam:19)
+    np.testing.assert_allclose(t.frho[0][1:4],
+                               [0.0, -2.236068e-1, -3.162278e-1], atol=1e-12)
+
+
+def test_spline_reproduces_knots_and_is_c1(aeam_tables):
+    """Spline value at each knot equals the table; derivative rows are the
+    exact derivative of the value cubic (pair_aeam.cpp:915-942)."""
+    f = aeam_tables.frho[0]
+    n = int(aeam_tables.nrho[0])
+    s = make_spline(f, n, float(aeam_tables.drho[0]))
+    np.testing.assert_allclose(s[1:, 6], f[1:], atol=0)
+    # cubic evaluated at p=1 from knot m equals value at knot m+1
+    m = np.arange(1, n - 1)
+    val_at_1 = s[m, 3] + s[m, 4] + s[m, 5] + s[m, 6]
+    np.testing.assert_allclose(val_at_1, s[m + 1, 6], atol=1e-10)
+    # derivative coefficient identity: c2 = c5/delta etc.
+    np.testing.assert_allclose(s[1:, 2] * float(aeam_tables.drho[0]),
+                               s[1:, 5], atol=1e-18)
+
+
+def test_aeam_masses_from_file(aeam_pair):
+    np.testing.assert_allclose(aeam_pair.masses, [0.0, 27.0, 28.0])
+
+
+def test_forces_match_finite_difference(aeam_pair):
+    pos, types, box = _alsi_system(kick=0.05)
+    x = jnp.asarray(pos)
+    nbr = build_neighbor_data(x, types, box, aeam_pair.neighbor_requests(),
+                              skin=1.0)
+    E, F, W = aeam_pair.energy_force_virial(x, jnp.asarray(types), nbr, box.h)
+    eps = 1e-6
+    z = jnp.zeros((3, 3))
+    for (i, d) in [(0, 0), (5, 1), (17, 2), (50, 0)]:
+        Ep = aeam_pair.energy(x.at[i, d].add(eps), z, jnp.asarray(types),
+                              nbr, box.h)
+        Em = aeam_pair.energy(x.at[i, d].add(-eps), z, jnp.asarray(types),
+                              nbr, box.h)
+        fd = -(float(Ep) - float(Em)) / (2 * eps)
+        assert abs(fd - float(F[i, d])) < 2e-6, (i, d, fd, float(F[i, d]))
+
+
+def test_newtons_third_law(aeam_pair):
+    pos, types, box = _alsi_system(kick=0.08, seed=3)
+    x = jnp.asarray(pos)
+    nbr = build_neighbor_data(x, types, box, aeam_pair.neighbor_requests(),
+                              skin=1.0)
+    _, F, _ = aeam_pair.energy_force_virial(x, jnp.asarray(types), nbr, box.h)
+    assert float(jnp.abs(jnp.sum(F, axis=0)).max()) < 1e-9
+
+
+def test_pure_al_cohesive_energy(aeam_pair):
+    """Perfect fcc Al at a=4.045 should give a physical cohesive energy."""
+    pos, types, box = _alsi_system(si_sites=())
+    x = jnp.asarray(pos)
+    nbr = build_neighbor_data(x, types, box, aeam_pair.neighbor_requests(),
+                              skin=1.0)
+    E, F, _ = aeam_pair.energy_force_virial(x, jnp.asarray(types), nbr, box.h)
+    e_per_atom = float(E) / len(pos)
+    assert -4.0 < e_per_atom < -3.0          # Al EAM cohesive ~ -3.4 eV
+    # perfect lattice: forces vanish by symmetry
+    assert float(jnp.abs(F).max()) < 1e-10
+
+
+def test_nve_energy_conservation(aeam_pair):
+    """50-step NVE on a thermally kicked Al-Si cell: total energy drift
+    stays at the Verlet discretization level."""
+    from lammps_plugins_tpu.fixes.velocity import velocity_create
+    pos, types, box = _alsi_system(nc=3)
+    state = State.create(x=jnp.asarray(pos), type=types, box=box,
+                         mass=aeam_pair.masses)
+    state = velocity_create(state, units.METAL, 300.0, seed=12345)
+    eng = Engine(state, aeam_pair, [FixNVE()], units.METAL)
+    rows = eng.run(50, thermo_every=10)
+    e0 = rows[0]["pe"] + rows[0]["ke"]
+    for r in rows[1:]:
+        drift = abs((r["pe"] + r["ke"]) - e0)
+        assert drift < 2e-3 * len(pos) / 100, (r["step"], drift)

@@ -1,0 +1,448 @@
+"""LAMMPS input-script interpreter — the L5 declarative DSL.
+
+Runs the reference inputs (USER-REBOMOS/in.rebomos-bulk, USER-AEAM/sample.in)
+as text: command dispatch, `&` line continuation, `#` comments, `$(...)`
+immediate expressions (in.rebomos-bulk:6-11), lattice/region/create_atoms
+geometry, pair/fix setup, and thermo-printing runs.
+
+This is a faithful *surface*, not a LAMMPS port: each command translates to
+the framework's host-side scene builders and the jitted Engine.  Unsupported
+commands raise unless they are known no-ops (dump/restart/log), which warn.
+
+Usage:
+    from lammps_plugins_tpu.api.script import Script
+    Script().run_file("in.rebomos-bulk")       # prints thermo like LAMMPS
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import units as units_mod
+from ..core.box import Box
+from ..core.lattice import Lattice, create_atoms_box
+from ..core.region import Block, Prism, Region, Sphere, BIG
+from ..core.state import State
+from ..fixes.base import Fix
+from ..fixes.bfield import FixBfield
+from ..fixes.nve import FixNVE
+from ..fixes.nvt import FixNVT
+from ..fixes.velocity import set_type_fraction, velocity_create
+from ..potentials.aeam import AEAM
+from ..potentials.rebomos import REBOMoS
+from ..run.simulation import Engine
+
+_NOOP_COMMANDS = {"dump", "dump_modify", "restart", "log", "echo",
+                  "atom_modify", "processors", "suffix", "package",
+                  "info", "write_data", "write_restart", "undump"}
+
+
+class ScriptError(ValueError):
+    pass
+
+
+class Script:
+    """Stateful command interpreter (one LAMMPS 'input deck')."""
+
+    def __init__(self, dtype=jnp.float64, log: Callable[[str], None] = print):
+        self.dtype = dtype
+        self.log = log
+        self.units = units_mod.METAL
+        self.dimension = 3
+        self.boundary = (True, True, True)
+        self.lattice: Optional[Lattice] = None
+        self.regions: Dict[str, Region] = {}
+        self.region_cmds: Dict[str, tuple] = {}
+        self.box: Optional[Box] = None
+        self.ntypes = 0
+        self.positions: Optional[np.ndarray] = None
+        self.types: Optional[np.ndarray] = None
+        self.masses: Dict[int, float] = {}
+        self.pair_style_name: Optional[str] = None
+        self.pair = None
+        self.fixes: List[Fix] = []
+        self.variables: Dict[str, str] = {}
+        self.dt: Optional[float] = None
+        self.skin: Optional[float] = None
+        self.thermo_every = 0
+        self.thermo_cols = ["step", "temp", "epair", "emol", "etotal",
+                            "press"]
+        self.engine: Optional[Engine] = None
+        self._velocity_cmds: List[tuple] = []
+
+    # ------------------------------------------------------------------
+    # driver
+    # ------------------------------------------------------------------
+    def run_file(self, path: str):
+        with open(path) as fh:
+            self.run_text(fh.read())
+
+    def run_text(self, text: str):
+        logical = ""
+        for raw in text.splitlines():
+            line = raw.split("#", 1)[0].rstrip()
+            if line.endswith("&"):
+                logical += line[:-1] + " "
+                continue
+            logical += line
+            if logical.strip():
+                self.command(logical.strip())
+            logical = ""
+        if logical.strip():
+            self.command(logical.strip())
+
+    def command(self, line: str):
+        line = self._substitute(line)
+        toks = line.split()
+        cmd, args = toks[0], toks[1:]
+        handler = getattr(self, f"cmd_{cmd}", None)
+        if handler is None:
+            if cmd in _NOOP_COMMANDS:
+                warnings.warn(f"Ignoring unsupported command: {cmd}")
+                return
+            raise ScriptError(f"Unknown command: {cmd}")
+        handler(args)
+
+    def _substitute(self, line: str) -> str:
+        """$(expr) immediate math + ${var} / $x substitution."""
+        out = []
+        i = 0
+        while i < len(line):
+            if line[i] == "$" and i + 1 < len(line):
+                nxt = line[i + 1]
+                if nxt == "(":
+                    depth, j = 1, i + 2
+                    while j < len(line) and depth:
+                        depth += {"(": 1, ")": -1}.get(line[j], 0)
+                        j += 1
+                    expr = line[i + 2:j - 1]
+                    out.append(repr(self._eval(expr)))
+                    i = j
+                    continue
+                if nxt == "{":
+                    j = line.index("}", i)
+                    out.append(self.variables[line[i + 2:j]])
+                    i = j + 1
+                    continue
+                out.append(self.variables[nxt])
+                i += 2
+                continue
+            out.append(line[i])
+            i += 1
+        return "".join(out)
+
+    def _eval(self, expr: str) -> float:
+        allowed = {"sqrt": math.sqrt, "exp": math.exp, "log": math.log,
+                   "sin": math.sin, "cos": math.cos, "tan": math.tan,
+                   "abs": abs, "floor": math.floor, "ceil": math.ceil,
+                   "PI": math.pi}
+        return float(eval(expr, {"__builtins__": {}}, allowed))  # noqa: S307
+
+    # ------------------------------------------------------------------
+    # setup commands
+    # ------------------------------------------------------------------
+    def cmd_units(self, args):
+        self.units = units_mod.get(args[0])
+
+    def cmd_atom_style(self, args):
+        if args[0] not in ("atomic", "charge", "full"):
+            raise ScriptError(f"Unsupported atom_style {args[0]}")
+        self.atom_style = args[0]
+
+    def cmd_dimension(self, args):
+        if int(args[0]) != 3:
+            raise ScriptError("Only 3d supported")
+
+    def cmd_boundary(self, args):
+        self.boundary = tuple(a.startswith("p") for a in args[:3])
+
+    def cmd_variable(self, args):
+        name, style = args[0], args[1]
+        if style not in ("equal", "string", "index"):
+            raise ScriptError(f"Unsupported variable style {style}")
+        self.variables[name] = " ".join(args[2:])
+
+    def cmd_lattice(self, args):
+        style = args[0]
+        if style == "custom":
+            scale = float(args[1])
+            vecs = {"a1": (1.0, 0.0, 0.0), "a2": (0.0, 1.0, 0.0),
+                    "a3": (0.0, 0.0, 1.0)}
+            basis, origin = [], (0.0, 0.0, 0.0)
+            i = 2
+            while i < len(args):
+                key = args[i]
+                if key in ("a1", "a2", "a3"):
+                    vecs[key] = tuple(float(v) for v in args[i + 1:i + 4])
+                    i += 4
+                elif key == "basis":
+                    basis.append(tuple(float(v) for v in args[i + 1:i + 4]))
+                    i += 4
+                elif key == "origin":
+                    origin = tuple(float(v) for v in args[i + 1:i + 4])
+                    i += 4
+                else:
+                    raise ScriptError(f"lattice custom keyword {key}")
+            if not basis:
+                basis = [(0.0, 0.0, 0.0)]
+            self.lattice = Lattice.custom(scale, vecs["a1"], vecs["a2"],
+                                          vecs["a3"], basis, origin)
+        elif style in ("fcc", "bcc", "sc"):
+            a = float(args[1])
+            origin = (0.0, 0.0, 0.0)
+            if "origin" in args:
+                k = args.index("origin")
+                origin = tuple(float(v) for v in args[k + 1:k + 4])
+            self.lattice = getattr(Lattice, style)(a, origin=origin)
+        elif style == "none":
+            self.lattice = None
+        else:
+            raise ScriptError(f"Unsupported lattice style {style}")
+
+    def _spacings(self) -> np.ndarray:
+        if self.lattice is None:
+            return np.ones(3)
+        return self.lattice.spacings()
+
+    def cmd_region(self, args):
+        rid, style = args[0], args[1]
+        s = self._spacings()
+        if style == "block":
+            lo, hi = [], []
+            for d in range(3):
+                a, b = args[2 + 2 * d], args[3 + 2 * d]
+                lo.append(-BIG if a in ("INF", "EDGE") else float(a) * s[d])
+                hi.append(BIG if b in ("INF", "EDGE") else float(b) * s[d])
+            self.regions[rid] = Block(name=rid, lo=tuple(lo), hi=tuple(hi))
+            self.region_cmds[rid] = ("block", tuple(lo), tuple(hi))
+        elif style == "prism":
+            xlo, xhi, ylo, yhi, zlo, zhi = (float(v) for v in args[2:8])
+            xy, xz, yz = (float(v) for v in args[8:11])
+            lo = (xlo * s[0], ylo * s[1], zlo * s[2])
+            hi = (xhi * s[0], yhi * s[1], zhi * s[2])
+            tilt = (xy * s[0], xz * s[0], yz * s[1])
+            self.regions[rid] = Prism(name=rid, lo=lo, hi=hi, tilt=tilt)
+            self.region_cmds[rid] = ("prism", lo, hi, tilt)
+        elif style == "sphere":
+            c = tuple(float(v) * s[d] for d, v in enumerate(args[2:5]))
+            rad = float(args[5]) * s[0]
+            self.regions[rid] = Sphere(name=rid, center=c, radius=rad)
+            self.region_cmds[rid] = ("sphere", c, rad)
+        else:
+            raise ScriptError(f"Unsupported region style {style}")
+
+    def cmd_create_box(self, args):
+        self.ntypes = int(args[0])
+        rid = args[1]
+        kind = self.region_cmds[rid]
+        if kind[0] == "block":
+            _, lo, hi = kind
+            self.box = Box.triclinic(hi[0] - lo[0], hi[1] - lo[1],
+                                     hi[2] - lo[2], lo=lo,
+                                     periodic=self.boundary,
+                                     dtype=self.dtype)
+        elif kind[0] == "prism":
+            _, lo, hi, tilt = kind
+            self.box = Box.triclinic(hi[0] - lo[0], hi[1] - lo[1],
+                                     hi[2] - lo[2], xy=tilt[0], xz=tilt[1],
+                                     yz=tilt[2], lo=lo,
+                                     periodic=self.boundary,
+                                     dtype=self.dtype)
+        else:
+            raise ScriptError("create_box needs a block or prism region")
+        h = self.box.h_np()
+        self.log(f"Created {'triclinic' if kind[0] == 'prism' else 'orthogonal'}"
+                 f" box = ({lo[0]:g} {lo[1]:g} {lo[2]:g}) to"
+                 f" ({hi[0]:g} {hi[1]:g} {hi[2]:g})")
+
+    def cmd_create_atoms(self, args):
+        type0 = int(args[0])
+        mode = args[1]
+        if self.lattice is None:
+            raise ScriptError("create_atoms requires a lattice")
+        basis_types = [type0] * len(self.lattice.basis)
+        i = 2
+        region_filter = None
+        if mode == "region":
+            region_filter = self.regions[args[2]]
+            i = 3
+        while i < len(args):
+            if args[i] == "basis":
+                basis_types[int(args[i + 1]) - 1] = int(args[i + 2])
+                i += 3
+            else:
+                raise ScriptError(f"create_atoms keyword {args[i]}")
+        pos, types = create_atoms_box(self.lattice, self.box, basis_types)
+        if region_filter is not None:
+            keep = np.asarray(region_filter.inside(jnp.asarray(pos)))
+            pos, types = pos[keep], types[keep]
+        if self.positions is None:
+            self.positions, self.types = pos, types
+        else:
+            self.positions = np.concatenate([self.positions, pos])
+            self.types = np.concatenate([self.types, types])
+        self.log(f"Created {len(pos)} atoms")
+        self.engine = None
+
+    def cmd_mass(self, args):
+        self.masses[int(args[0])] = float(args[1])
+
+    def cmd_pair_style(self, args):
+        self.pair_style_name = args[0]
+        if args[0] not in ("rebomos", "aeam", "none", "zero"):
+            raise ScriptError(f"Unsupported pair style {args[0]}")
+
+    def cmd_pair_coeff(self, args):
+        if args[0] != "*" or args[1] != "*":
+            raise ScriptError("pair_coeff must be '* *' for these styles")
+        path, elems = args[2], args[3:]
+        dtype = self.dtype
+        if self.pair_style_name == "rebomos":
+            self.pair = REBOMoS.from_file(path, elems, dtype=dtype)
+        elif self.pair_style_name == "aeam":
+            self.pair = AEAM.from_file(path, elems, dtype=dtype)
+            for t, m in enumerate(self.pair.masses[1:], start=1):
+                if m > 0:
+                    self.masses.setdefault(t, float(m))
+        else:
+            raise ScriptError("pair_coeff before pair_style")
+        self.engine = None
+
+    def cmd_neighbor(self, args):
+        self.skin = float(args[0])
+
+    def cmd_neigh_modify(self, args):
+        pass   # every/delay/check semantics are subsumed by the half-skin
+               # displacement trigger (exact; see run/simulation.py)
+
+    def cmd_set(self, args):
+        if args[0] == "region" and args[2] == "type/fraction":
+            region = self.regions[args[1]]
+            newtype, frac, seed = int(args[3]), float(args[4]), int(args[5])
+        elif args[0] == "group" and args[1] == "all" \
+                and args[2] == "type/fraction":
+            region, newtype, frac, seed = None, int(args[3]), \
+                float(args[4]), int(args[5])
+        else:
+            raise ScriptError(f"Unsupported set command: {' '.join(args)}")
+        st = self._state()
+        st = set_type_fraction(st, newtype, frac, seed, region=region)
+        self.types = np.asarray(st.type)
+        self.engine = None
+
+    def cmd_timestep(self, args):
+        self.dt = float(args[0])
+        self.engine = None
+
+    def cmd_velocity(self, args):
+        if args[0] != "all" or args[1] != "create":
+            raise ScriptError("Only `velocity all create T seed` supported")
+        self._velocity_cmds.append((float(args[2]), int(args[3])))
+        self.engine = None
+
+    def cmd_fix(self, args):
+        fid, group, style = args[0], args[1], args[2]
+        rest = args[3:]
+        if style == "nve":
+            self.fixes.append(FixNVE())
+        elif style == "nvt":
+            if rest[0] != "temp":
+                raise ScriptError("fix nvt requires `temp Tstart Tstop Tdamp`")
+            self.fixes.append(FixNVT(float(rest[1]), float(rest[2]),
+                                     float(rest[3]), fix_id=fid))
+        elif style == "bfield":
+            b = []
+            for comp in rest[:3]:
+                if comp.startswith("v_"):
+                    name = comp[2:]
+                    expr = self.variables[name]
+                    b.append(lambda t, e=expr: self._eval(
+                        e.replace("time", repr(float(t)))))
+                else:
+                    b.append(float(comp))
+            region = None
+            if len(rest) > 3 and rest[3] == "region":
+                region = self.regions[rest[4]]
+            self.fixes.append(FixBfield(b[0], b[1], b[2], region=region,
+                                        fix_id=fid))
+        else:
+            raise ScriptError(f"Unsupported fix style {style}")
+        self.engine = None
+
+    def cmd_unfix(self, args):
+        raise ScriptError("unfix not yet supported")
+
+    def cmd_thermo(self, args):
+        self.thermo_every = int(args[0])
+
+    def cmd_thermo_style(self, args):
+        if args[0] != "custom":
+            raise ScriptError("Only thermo_style custom supported")
+        self.thermo_cols = args[1:]
+
+    # ------------------------------------------------------------------
+    # run
+    # ------------------------------------------------------------------
+    def _state(self) -> State:
+        if self.positions is None:
+            raise ScriptError("No atoms created")
+        mass = np.zeros(self.ntypes + 1)
+        for t, m in self.masses.items():
+            mass[t] = m
+        return State.create(x=self.positions, type=self.types, box=self.box,
+                            mass=mass, dtype=self.dtype)
+
+    def _make_engine(self) -> Engine:
+        if self.pair is None:
+            raise ScriptError("No pair style defined")
+        state = self._state()
+        for t_target, seed in self._velocity_cmds:
+            state = velocity_create(state, self.units, t_target, seed)
+        # ordering check: fix bfield must precede the time integrator
+        # (fix_bfield.cpp:206-219)
+        seen_bfield = False
+        for f in self.fixes:
+            if isinstance(f, FixBfield):
+                seen_bfield = True
+            if f.time_integrate and isinstance(f, FixNVT) and seen_bfield:
+                raise ScriptError("fix bfield requires an NVE style "
+                                  "integrator")
+        return Engine(state, self.pair, self.fixes, self.units,
+                      dt=self.dt, skin=self.skin)
+
+    _COLMAP = {"step": "step", "temp": "temp", "press": "press",
+               "pe": "pe", "poteng": "pe", "ke": "ke", "kineng": "ke",
+               "etotal": "etotal", "vol": "vol", "cellgamma": "cellgamma",
+               "cellalpha": "cellalpha", "cellbeta": "cellbeta",
+               "epair": "pe", "emol": None, "lx": None, "ly": None,
+               "lz": None, "pxx": None, "pyy": None, "pzz": None}
+
+    def cmd_run(self, args):
+        n = int(args[0])
+        if self.engine is None:
+            self.engine = self._make_engine()
+        eng = self.engine
+
+        header = "   " + "".join(f"{c:>15}" for c in self.thermo_cols)
+        self.log(header)
+
+        def on_thermo(row):
+            vals = []
+            for c in self.thermo_cols:
+                key = self._COLMAP.get(c, c)
+                v = row.get(key, 0.0) if key else 0.0
+                if c == "step":
+                    vals.append(f"{int(v):>15d}")
+                else:
+                    vals.append(f"{v:>15.8g}")
+            self.log("   " + "".join(vals))
+
+        rows = eng.run(n, thermo_every=self.thermo_every or max(n, 1),
+                       on_thermo=on_thermo)
+        self.last_rows = rows
+        return rows

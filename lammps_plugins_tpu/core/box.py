@@ -139,7 +139,45 @@ class Box:
         """Continuous (unwrapped) coordinates from wrapped x + image flags."""
         return x + image.astype(x.dtype) @ self.h
 
-    # -- host-side helpers (numpy, used by scene builders) -----------------
+    # -- host-side helpers (numpy, used by scene builders and the neighbor
+    # rebuild path; eager jnp ops are expensive on remote-compile TPU
+    # backends, so host code must stay in numpy) ---------------------------
+    def h_np(self) -> np.ndarray:
+        return np.asarray(self.h, dtype=np.float64)
+
+    def lo_np(self) -> np.ndarray:
+        return np.asarray(self.lo, dtype=np.float64)
+
+    def perpendicular_widths_np(self) -> np.ndarray:
+        h = self.h_np()
+        vol = abs(np.linalg.det(h))
+        a, b, c = h
+        return np.array([vol / np.linalg.norm(np.cross(b, c)),
+                         vol / np.linalg.norm(np.cross(c, a)),
+                         vol / np.linalg.norm(np.cross(a, b))])
+
+    def wrap_np(self, x: np.ndarray, image: np.ndarray | None = None):
+        """Host-side wrap (numpy mirror of wrap())."""
+        h = self.h_np()
+        lo = self.lo_np()
+        f = (np.asarray(x, np.float64) - lo) @ np.linalg.inv(h)
+        shift = np.floor(f)
+        per = np.asarray(self.periodic)
+        shift[:, ~per] = 0.0
+        xw = (f - shift) @ h + lo
+        ishift = shift.astype(np.int32)
+        if image is None:
+            return xw, ishift
+        return xw, np.asarray(image) + ishift
+
+    def cell_angles_deg_np(self):
+        h = self.h_np()
+        a, b, c = h
+        la, lb, lc = (np.linalg.norm(v) for v in h)
+        return (float(np.degrees(np.arccos(np.dot(b, c) / (lb * lc)))),
+                float(np.degrees(np.arccos(np.dot(a, c) / (la * lc)))),
+                float(np.degrees(np.arccos(np.dot(a, b) / (la * lb)))))
+
     def corners(self) -> np.ndarray:
         """The 8 Cartesian corners of the box (host-side numpy)."""
         h = np.asarray(self.h)

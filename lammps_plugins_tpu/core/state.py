@@ -74,18 +74,24 @@ class State:
     @classmethod
     def create(cls, x, type, box: Box, mass, v=None, q=None, image=None,
                dtype=None) -> "State":
-        x = jnp.asarray(x, dtype=dtype)
+        # build in numpy, transfer once (eager jnp.zeros would compile on
+        # remote-TPU backends)
+        import numpy as np
+        x = jnp.asarray(np.asarray(x), dtype=dtype)
         n = x.shape[0]
         dtype = x.dtype
+        zeros3 = np.zeros((n, 3))
         return cls(
             x=x,
-            v=jnp.zeros((n, 3), dtype) if v is None else jnp.asarray(v, dtype),
-            f=jnp.zeros((n, 3), dtype),
-            type=jnp.asarray(type, jnp.int32),
-            q=jnp.zeros((n,), dtype) if q is None else jnp.asarray(q, dtype),
-            image=(jnp.zeros((n, 3), jnp.int32) if image is None
-                   else jnp.asarray(image, jnp.int32)),
-            mass=jnp.asarray(mass, dtype),
+            v=(jnp.asarray(zeros3, dtype) if v is None
+               else jnp.asarray(np.asarray(v), dtype)),
+            f=jnp.asarray(zeros3, dtype),
+            type=jnp.asarray(np.asarray(type), jnp.int32),
+            q=(jnp.asarray(np.zeros(n), dtype) if q is None
+               else jnp.asarray(np.asarray(q), dtype)),
+            image=(jnp.asarray(np.zeros((n, 3)), jnp.int32) if image is None
+                   else jnp.asarray(np.asarray(image), jnp.int32)),
+            mass=jnp.asarray(np.asarray(mass), dtype),
             box=box,
             step=jnp.asarray(0, jnp.int32),
             extras={},

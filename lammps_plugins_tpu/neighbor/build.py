@@ -71,9 +71,9 @@ def build_ghosts_np(x: np.ndarray, box: Box, cutoff: float):
     conservative per-axis fractional slab test using the perpendicular box
     widths, so every image that could interact is included.
     """
-    h = np.asarray(box.h, dtype=np.float64)
-    lo = np.asarray(box.lo, dtype=np.float64)
-    widths = np.asarray(box.perpendicular_widths())
+    h = box.h_np()
+    lo = box.lo_np()
+    widths = box.perpendicular_widths_np()
     periodic = box.periodic
 
     frac = (x - lo) @ np.linalg.inv(h)
@@ -201,7 +201,7 @@ def build_neighbor_data(x, types, box: Box, requests: Mapping[str, np.ndarray],
     """
     x_np = np.asarray(x, dtype=np.float64)
     t_np = np.asarray(types)
-    dtype = dtype or jnp.asarray(x).dtype
+    dtype = dtype or getattr(x, "dtype", np.float64)
 
     cut_mats = {}
     global_max = 0.0
@@ -213,7 +213,7 @@ def build_neighbor_data(x, types, box: Box, requests: Mapping[str, np.ndarray],
     list_cut = global_max + skin
     owner, shift = build_ghosts_np(x_np, box, list_cut + skin)
 
-    h = np.asarray(box.h, dtype=np.float64)
+    h = box.h_np()
     x_all = np.concatenate([x_np, x_np[owner] + shift @ h], axis=0)
     t_all = np.concatenate([t_np, t_np[owner]])
 

@@ -113,9 +113,20 @@ def build_ghosts_np(x: np.ndarray, box: Box, cutoff: float):
 def _find_pairs_np(x_own: np.ndarray, x_all: np.ndarray, rcut: float):
     """All (i, j, rsq) with i owned, j in owned+ghosts, j != i, r < rcut.
 
-    Cell binning at cell size >= rcut; O(N * local density).  Returns int32
-    arrays (pairs_i, pairs_j, rsq).
+    Dispatches to the native C++ cell-binned search (ops/neighbor_native.cpp,
+    threaded) when available; falls back to the vectorized-numpy binning
+    below.  Both return identical pair sets (order differs; downstream
+    padding re-sorts by center).
     """
+    from ..ops import native
+    res = native.find_pairs(x_own, x_all, rcut)
+    if res is not None:
+        return res
+    return _find_pairs_numpy(x_own, x_all, rcut)
+
+
+def _find_pairs_numpy(x_own: np.ndarray, x_all: np.ndarray, rcut: float):
+    """Pure-numpy fallback pair search (same contract as _find_pairs_np)."""
     n_own = len(x_own)
     mn = x_all.min(axis=0) - 1e-9
     cell_all = np.floor((x_all - mn) / rcut).astype(np.int64)

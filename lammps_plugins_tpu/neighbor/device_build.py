@@ -1,0 +1,196 @@
+"""On-device (jitted) neighbor rebuild — fixed-shape cell binning on TPU.
+
+The host numpy build (build.py) is exact but serial; at 100k+ atoms a
+rebuild costs tens of seconds on this class of host, which would dominate
+the step budget.  This module is the TPU-native rebuild from SURVEY.md
+section 7.1: everything — wrapping, ghost-image compaction, cell binning,
+candidate generation, per-tier top-k compaction — is one jitted function of
+fixed shapes, so a rebuild costs milliseconds of device time and no
+host<->device traffic beyond tiny overflow flags.
+
+Shapes are fixed by a host-side `RebuildPlan` (capacities with slack,
+derived from an initial exact host build); capacity overflow sets flags that
+the Engine checks, falling back to a host rebuild with larger capacities
+(the analogue of LAMMPS's 'neighbor list overflow, boost neigh_modify one',
+pair_rebomos.cpp:349-350 — but recoverable instead of fatal).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.box import Box
+from .neighbor import Ghosts, NeighborList
+from .build import NeighborData
+
+BIG = jnp.inf
+
+
+@dataclasses.dataclass(frozen=True)
+class RebuildPlan:
+    """Static geometry + capacities for the jitted rebuild (hashable)."""
+
+    shifts: Tuple[Tuple[int, int, int], ...]   # candidate image shifts
+    margins: Tuple[float, float, float]        # fractional ghost margins
+    grid_mn: Tuple[float, float, float]        # Cartesian grid origin
+    grid_dims: Tuple[int, int, int]
+    cell_size: float
+    ghost_capacity: int
+    cell_capacity: int
+    k_caps: Tuple[Tuple[str, int], ...]        # per-tier K
+    list_cut: float                            # candidate cutoff (inc. skin)
+    skin: float
+
+
+def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
+              ghost_count: int, max_cell_occupancy: int,
+              k_counts: Dict[str, int], slack: float = 1.3) -> RebuildPlan:
+    """Derive static geometry + padded capacities from an exact host build."""
+    cuts = {k: np.asarray(v, np.float64) for k, v in requests.items()}
+    list_cut = max(float(v.max()) for v in cuts.values()) + skin
+
+    widths = box.perpendicular_widths_np()
+    margins = tuple(float((list_cut + skin) / widths[d])
+                    if box.periodic[d] else 0.0 for d in range(3))
+    nrep = [int(np.ceil((list_cut + skin) / widths[d]))
+            if box.periodic[d] else 0 for d in range(3)]
+    shifts = tuple((sx, sy, sz)
+                   for sx in range(-nrep[0], nrep[0] + 1)
+                   for sy in range(-nrep[1], nrep[1] + 1)
+                   for sz in range(-nrep[2], nrep[2] + 1)
+                   if (sx, sy, sz) != (0, 0, 0))
+
+    # Cartesian bounding box of the margin-expanded cell
+    h = box.h_np()
+    lo = box.lo_np()
+    corners = []
+    for a in (-margins[0], 1 + margins[0]):
+        for b in (-margins[1], 1 + margins[1]):
+            for c in (-margins[2], 1 + margins[2]):
+                corners.append(lo + np.array([a, b, c]) @ h)
+    corners = np.array(corners)
+    mn = corners.min(axis=0) - 1e-6
+    mx = corners.max(axis=0) + 1e-6
+    dims = tuple(int(np.ceil((mx[d] - mn[d]) / list_cut)) for d in range(3))
+
+    def pad8(v):
+        return max(8, int(-(-int(v * slack) // 8) * 8))
+
+    return RebuildPlan(
+        shifts=shifts, margins=margins, grid_mn=tuple(mn),
+        grid_dims=dims, cell_size=list_cut,
+        ghost_capacity=pad8(max(ghost_count, 8)),
+        cell_capacity=pad8(max(max_cell_occupancy, 4)),
+        k_caps=tuple(sorted((k, pad8(v)) for k, v in k_counts.items())),
+        list_cut=list_cut, skin=skin)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
+                   cut_mats: Dict[str, jnp.ndarray]):
+    """Jitted rebuild: (x, image) -> (xw, image', NeighborData, flags).
+
+    cut_mats: per-tier [T+1, T+1] cutoff matrices (device arrays).
+    """
+    dtype = x.dtype
+    n = x.shape[0]
+
+    # -- wrap into the primary cell (Domain::pbc) --------------------------
+    f = (x - lo) @ h_inv
+    shift = jnp.floor(f)
+    xw = (f - shift) @ h + lo
+    image = image + shift.astype(jnp.int32)
+    fw = f - shift
+
+    # -- ghost-image compaction --------------------------------------------
+    S = len(plan.shifts)
+    shifts = jnp.asarray(np.array(plan.shifts), dtype)          # [S,3]
+    margins = jnp.asarray(np.array(plan.margins), dtype)
+    fi = fw[None, :, :] + shifts[:, None, :]                    # [S,N,3]
+    keep = jnp.all((fi >= -margins) & (fi <= 1.0 + margins), axis=-1)
+    flat = keep.reshape(-1)
+    Mg = plan.ghost_capacity
+    (sel,) = jnp.nonzero(flat, size=Mg, fill_value=-1)
+    ghost_valid = sel >= 0
+    sel_safe = jnp.maximum(sel, 0)
+    owner = (sel_safe % n).astype(jnp.int32)
+    gshift = shifts[sel_safe // n]
+    # park invalid ghosts far away via an absurd shift
+    gshift = jnp.where(ghost_valid[:, None], gshift, 1e5)
+    ghost_overflow = jnp.sum(flat) > Mg
+
+    ghosts = Ghosts(owner=owner, shift=gshift)
+    x_all = ghosts.all_positions(xw, h)                         # [n+Mg,3]
+    t_all = ghosts.all_types(types)
+    m_all = n + Mg
+
+    # -- cell binning into a dense [ncells+1, C] table ----------------------
+    mn = jnp.asarray(np.array(plan.grid_mn), dtype)
+    dims = plan.grid_dims
+    ncells = dims[0] * dims[1] * dims[2]
+    c3 = jnp.clip(jnp.floor((x_all - mn) / plan.cell_size).astype(jnp.int32),
+                  0, jnp.asarray(np.array(dims, np.int32) - 1))
+    cid = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
+    # invalid ghosts to the junk cell (index ncells)
+    valid_row = jnp.concatenate(
+        [jnp.ones(n, bool), ghost_valid])
+    cid = jnp.where(valid_row, cid, ncells)
+
+    C = plan.cell_capacity
+    order = jnp.argsort(cid)
+    cid_sorted = cid[order]
+    starts = jnp.searchsorted(cid_sorted, jnp.arange(ncells + 1))
+    slot = jnp.arange(m_all) - starts[cid_sorted]
+    # junk-cell (invalid ghost) rows never feed candidates; ignore them in
+    # the overflow check
+    cell_overflow = jnp.max(jnp.where(cid_sorted < ncells, slot, 0)) >= C
+    slot = jnp.minimum(slot, C - 1)
+    dense = jnp.full((ncells + 2, C), m_all, jnp.int32)   # +junk +oob rows
+    dense = dense.at[cid_sorted, slot].set(order.astype(jnp.int32),
+                                           mode="drop")
+
+    # -- candidates: 27 surrounding cells per owned atom --------------------
+    offs = np.array([(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
+                     for c in (-1, 0, 1)], np.int32)
+    ci = c3[:n]                                                  # [n,3]
+    nbr3 = ci[:, None, :] + jnp.asarray(offs)[None, :, :]        # [n,27,3]
+    in_rng = jnp.all((nbr3 >= 0)
+                     & (nbr3 < jnp.asarray(np.array(dims, np.int32))),
+                     axis=-1)
+    ncid = (nbr3[..., 0] * dims[1] + nbr3[..., 1]) * dims[2] + nbr3[..., 2]
+    ncid = jnp.where(in_rng, ncid, ncells + 1)                   # oob row
+    cand = dense[ncid].reshape(n, 27 * C)                        # [n, 27C]
+
+    # distances to candidates (sentinel m_all -> far row)
+    x_pad = jnp.concatenate([x_all, jnp.full((1, 3), 1e7, dtype)], axis=0)
+    d = x_pad[cand] - xw[:, None, :]
+    rsq = jnp.sum(d * d, axis=-1)
+    valid = (cand < m_all) & (cand != jnp.arange(n)[:, None])
+    t_pad = jnp.concatenate([t_all, jnp.zeros(1, t_all.dtype)])
+    tj = t_pad[cand]
+    ti = types[:, None]
+
+    # -- per-tier top-K compaction ------------------------------------------
+    lists = {}
+    flags = {"ghost_overflow": ghost_overflow,
+             "cell_overflow": cell_overflow}
+    for name, K in plan.k_caps:
+        cut = cut_mats[name][ti, tj] + plan.skin
+        m_tier = valid & (rsq < cut * cut)
+        key = jnp.where(m_tier, rsq, BIG)
+        neg_vals, pos = jax.lax.top_k(-key, K)
+        idx = jnp.take_along_axis(cand, pos, axis=1)
+        mask = neg_vals > -BIG
+        idx = jnp.where(mask, idx, 0).astype(jnp.int32)
+        lists[name] = NeighborList(idx=idx, mask=mask)
+        flags[f"k_overflow:{name}"] = jnp.max(jnp.sum(m_tier, axis=1)) > K
+
+    nbr = NeighborData(ghosts=ghosts, lists=lists, x_build=xw,
+                       skin=plan.skin)
+    return xw, image, nbr, flags

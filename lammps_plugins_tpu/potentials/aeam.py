@@ -185,7 +185,8 @@ class AEAM(PairStyle):
         return ((c[..., 3] * p + c[..., 4]) * p + c[..., 5]) * p + c[..., 6]
 
     # ------------------------------------------------------------------
-    def energy(self, x, strain, types, nbr: NeighborData, h):
+    def energy(self, x, strain, types, nbr: NeighborData, h,
+               center_mask=None):
         ghosts = nbr.ghosts
         main = nbr.lists["main"]
         el_own = self.typemap[types]                   # [N]
@@ -236,7 +237,10 @@ class AEAM(PairStyle):
         rho_pow = jnp.where(live, pow_live, pow_dead)
 
         p_arg = rho_pow * self.frho_rdrho[el_own] + 1.0
-        e_embed = jnp.sum(self._embed(el_own, p_arg))
+        embed = self._embed(el_own, p_arg)
+        if center_mask is not None:
+            embed = jnp.where(center_mask, embed, 0.0)
+        e_embed = jnp.sum(embed)
 
         # pair term: full cut (cpp:350), half per directed edge (cpp:387)
         in_pair = mask & (r <= cut_ij)

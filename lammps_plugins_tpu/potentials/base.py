@@ -39,8 +39,13 @@ class PairStyle:
 
     def energy(self, x: jnp.ndarray, strain: jnp.ndarray,
                types: jnp.ndarray, nbr: NeighborData,
-               h: jnp.ndarray) -> jnp.ndarray:
-        """Total potential energy (pure function; jit/grad-safe)."""
+               h: jnp.ndarray, center_mask=None) -> jnp.ndarray:
+        """Total potential energy (pure function; jit/grad-safe).
+
+        center_mask: optional [N] bool selecting which rows of x count as
+        owned centers — used by the spatial decomposition, where x also
+        carries halo atoms whose energy is owned by another device.
+        """
         raise NotImplementedError
 
     def max_cutoff(self) -> float:

@@ -21,6 +21,6 @@ class PairNone(PairStyle):
     def neighbor_requests(self):
         return {"main": self.cutoff}
 
-    def energy(self, x, strain, types, nbr, h):
+    def energy(self, x, strain, types, nbr, h, center_mask=None):
         # depends on x/strain so grad shapes are well-defined
         return 0.0 * jnp.sum(x) + 0.0 * jnp.sum(strain)

@@ -153,7 +153,11 @@ class REBOMoS(PairStyle):
         return {"master": master, "rebo": rebo}
 
     # -- energy ------------------------------------------------------------
-    def energy(self, x, strain, types, nbr: NeighborData, h):
+    def energy(self, x, strain, types, nbr: NeighborData, h,
+               center_mask=None):
+        # all energy terms are per-edge and the list masks already restrict
+        # centers, so center_mask needs no extra handling here
+        del center_mask
         ghosts = nbr.ghosts
         el_own = self.typemap[types]                      # [N]
         el_all = self.typemap[ghosts.all_types(types)]    # [N+Mg]

@@ -45,7 +45,8 @@ class Engine:
 
     def __init__(self, state: State, pair: PairStyle, fixes: Sequence[Fix],
                  units: UnitSystem, dt: float | None = None,
-                 skin: float | None = None, check_every: int = 10):
+                 skin: float | None = None, check_every: int = 10,
+                 device_rebuild: bool | None = None):
         self.state = state
         self.pair = pair
         self.fixes = list(fixes)
@@ -60,6 +61,14 @@ class Engine:
         self._seg_jit = None
         self._efv_jit = None
         self._thermo_jit = None
+        # on-device rebuild: the TPU-native path for large systems (host
+        # rebuild is O(seconds) at 100k atoms; device is O(ms))
+        if device_rebuild is None:
+            device_rebuild = state.natoms >= 20000
+        self.device_rebuild = device_rebuild
+        self._plan = None
+        self._cut_mats_dev = None
+        self._maxdisp_is_device = False
 
         for fix in self.fixes:
             self.state = fix.setup(self.state, self.ctx)
@@ -72,6 +81,9 @@ class Engine:
         return bool((d * d).sum(axis=1).max() > (0.5 * self.skin) ** 2)
 
     def rebuild_neighbors(self, x_np: np.ndarray | None = None):
+        if self.device_rebuild:
+            self._rebuild_on_device()
+            return
         if x_np is None:
             x_np = np.asarray(self.state.x)
         xw, image = self.state.box.wrap_np(x_np, np.asarray(self.state.image))
@@ -82,6 +94,67 @@ class Engine:
             xw, np.asarray(self.state.type), self.state.box,
             self.pair.neighbor_requests(), skin=self.skin, dtype=dtype)
         self._x_build_np = xw
+
+    # -- device rebuild path ------------------------------------------------
+    def _make_plan(self, slack: float = 1.3):
+        """Size capacities from an exact host build at current positions."""
+        from ..neighbor import device_build
+
+        x_np, _ = self.state.box.wrap_np(np.asarray(self.state.x))
+        t_np = np.asarray(self.state.type)
+        requests = self.pair.neighbor_requests()
+        host = build_neighbor_data(x_np, t_np, self.state.box, requests,
+                                   skin=self.skin, dtype=self.state.x.dtype)
+        k_counts = {name: int(lst.mask.sum(axis=1).max())
+                    for name, lst in host.lists.items()}
+        ghost_count = host.ghosts.count
+        # cell occupancy under the plan's grid geometry
+        plan0 = device_build.make_plan(
+            self.state.box, requests, self.skin, ghost_count, 4, k_counts,
+            slack=slack)
+        owner = np.asarray(host.ghosts.owner)
+        shift = np.asarray(host.ghosts.shift)
+        h = self.state.box.h_np()
+        x_all = np.concatenate([x_np, x_np[owner] + shift @ h])
+        mn = np.array(plan0.grid_mn)
+        dims = np.array(plan0.grid_dims)
+        c3 = np.clip(((x_all - mn) / plan0.cell_size).astype(np.int64),
+                     0, dims - 1)
+        cid = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
+        occ = int(np.bincount(cid).max())
+        self._plan = device_build.make_plan(
+            self.state.box, requests, self.skin, ghost_count, occ, k_counts,
+            slack=slack)
+        dtype = self.state.x.dtype
+        self._cut_mats_dev = {k: jnp.asarray(v, dtype)
+                              for k, v in requests.items()}
+        self._box_dev = (jnp.asarray(h, dtype),
+                         jnp.asarray(np.linalg.inv(h), dtype),
+                         jnp.asarray(self.state.box.lo_np(), dtype))
+
+    def _rebuild_on_device(self, _retry: int = 0):
+        from ..neighbor import device_build
+
+        if self._plan is None:
+            self._make_plan()
+        h, h_inv, lo = self._box_dev
+        xw, image, nbr, flags = device_build.device_rebuild(
+            self._plan, self.state.x, self.state.image, self.state.type,
+            h, h_inv, lo, self._cut_mats_dev)
+        flags_np = jax.device_get(flags)
+        if any(bool(v) for v in flags_np.values()):
+            if _retry >= 2:
+                raise RuntimeError(f"device rebuild overflow persists: "
+                                   f"{flags_np}")
+            # re-size capacities from an exact host build and retry
+            self._plan = None
+            self._seg_jit = None      # shapes change -> retrace
+            self._make_plan(slack=1.3 * (2.0 ** (_retry + 1)))
+            return self._rebuild_on_device(_retry + 1)
+        self.state = self.state.replace(x=xw, image=image)
+        self.nbr = nbr
+        self._x_build_np = None
+        self._maxdisp_is_device = True
 
     # -- jitted computations ----------------------------------------------
     def _one_step(self, state: State, nbr: NeighborData):
@@ -126,9 +199,17 @@ class Engine:
 
     def evaluate(self):
         """Compute forces/pe/W at the current positions (LAMMPS setup())."""
-        x_np = np.asarray(self.state.x)
-        if self.nbr is None or self._needs_rebuild(x_np):
-            self.rebuild_neighbors(x_np)
+        if self.nbr is None:
+            self.rebuild_neighbors()
+        elif self.device_rebuild:
+            d = jax.jit(lambda a, b: jnp.max(jnp.sum((a - b) ** 2, -1)))(
+                self.state.x, self.nbr.x_build)
+            if float(d) > (0.5 * self.skin) ** 2:
+                self.rebuild_neighbors()
+        else:
+            x_np = np.asarray(self.state.x)
+            if self._needs_rebuild(x_np):
+                self.rebuild_neighbors(x_np)
         if self._efv_jit is None:
             self._efv_jit = jax.jit(self.pair.energy_force_virial)
         pe, force, W = self._efv_jit(

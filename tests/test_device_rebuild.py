@@ -1,0 +1,69 @@
+"""On-device jitted neighbor rebuild vs exact host build."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lammps_plugins_tpu.api.scenes import rebomos_bulk
+from lammps_plugins_tpu.core import units
+from lammps_plugins_tpu.fixes.nve import FixNVE
+from lammps_plugins_tpu.potentials.rebomos import REBOMoS
+from lammps_plugins_tpu.run.simulation import Engine
+
+GOLDEN = [(0, 0.0, -2061.6112), (10, 80.776057, -2064.6132),
+          (20, 146.17503, -2067.0428)]
+
+
+def test_device_rebuild_matches_host_energy(rebo_file):
+    """Same energy/forces whether lists come from the host numpy build or
+    the jitted device rebuild (different padding, same physics)."""
+    state = rebomos_bulk()
+    pair = REBOMoS.from_file(rebo_file, ["M", "S"])
+
+    eng_h = Engine(state, pair, [FixNVE()], units.METAL,
+                   device_rebuild=False)
+    pe_h, w_h = eng_h.evaluate()
+    f_h = np.asarray(eng_h.state.f)
+
+    eng_d = Engine(state, pair, [FixNVE()], units.METAL,
+                   device_rebuild=True)
+    pe_d, w_d = eng_d.evaluate()
+    f_d = np.asarray(eng_d.state.f)
+
+    assert abs(float(pe_d) - float(pe_h)) < 1e-9 * abs(float(pe_h))
+    np.testing.assert_allclose(f_d, f_h, rtol=1e-10, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(w_d), np.asarray(w_h),
+                               rtol=1e-10, atol=1e-9)
+
+
+def test_device_rebuild_golden_run(rebo_file):
+    """The golden 20-step run is unchanged under the device-rebuild path."""
+    state = rebomos_bulk()
+    pair = REBOMoS.from_file(rebo_file, ["M", "S"])
+    eng = Engine(state, pair, [FixNVE()], units.METAL, device_rebuild=True,
+                 check_every=5)
+    rows = eng.run(20, thermo_every=10)
+    for row, (step, g_t, g_pe) in zip(rows, GOLDEN):
+        assert abs(row["temp"] - g_t) < 5e-6 * max(1.0, g_t)
+        assert abs(row["pe"] - g_pe) / abs(g_pe) < 1e-7
+
+
+def test_overflow_recovery(rebo_file):
+    """Force tiny capacities; the engine must detect overflow and re-size."""
+    from lammps_plugins_tpu.neighbor import device_build
+
+    state = rebomos_bulk()
+    pair = REBOMoS.from_file(rebo_file, ["M", "S"])
+    eng = Engine(state, pair, [FixNVE()], units.METAL, device_rebuild=True)
+    eng._make_plan(slack=1.3)
+    good = eng._plan
+    # sabotage: halve every capacity
+    eng._plan = device_build.RebuildPlan(
+        shifts=good.shifts, margins=good.margins, grid_mn=good.grid_mn,
+        grid_dims=good.grid_dims, cell_size=good.cell_size,
+        ghost_capacity=8, cell_capacity=8,
+        k_caps=tuple((k, 8) for k, _ in good.k_caps),
+        list_cut=good.list_cut, skin=good.skin)
+    eng.rebuild_neighbors()          # must recover via host re-sizing
+    pe, _ = eng.evaluate()
+    assert abs(float(pe) - -2061.6112) < 1e-3

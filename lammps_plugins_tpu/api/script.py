@@ -37,9 +37,9 @@ from ..potentials.aeam import AEAM
 from ..potentials.rebomos import REBOMoS
 from ..run.simulation import Engine
 
-_NOOP_COMMANDS = {"dump", "dump_modify", "restart", "log", "echo",
+_NOOP_COMMANDS = {"dump_modify", "restart", "log", "echo",
                   "atom_modify", "processors", "suffix", "package",
-                  "info", "write_data", "write_restart", "undump"}
+                  "info", "write_data", "undump"}
 
 
 class ScriptError(ValueError):
@@ -333,6 +333,8 @@ class Script:
         st = self._state()
         st = set_type_fraction(st, newtype, frac, seed, region=region)
         self.types = np.asarray(st.type)
+        if getattr(self, "_restart_state", None) is not None:
+            self._restart_state = st
         self.engine = None
 
     def cmd_timestep(self, args):
@@ -377,6 +379,23 @@ class Script:
     def cmd_unfix(self, args):
         raise ScriptError("unfix not yet supported")
 
+    def cmd_dump(self, args):
+        """dump ID group-ID style N file [cols...] (atom / custom)."""
+        from ..run.dump import DumpWriter
+        did, group, style, every, path = args[0], args[1], args[2], \
+            int(args[3]), args[4]
+        if group != "all":
+            raise ScriptError("dump supports group 'all' only")
+        if style == "atom":
+            writer = DumpWriter(path)
+        elif style == "custom":
+            writer = DumpWriter(path, columns=args[5:])
+        else:
+            raise ScriptError(f"Unsupported dump style {style}")
+        if not hasattr(self, "dumps"):
+            self.dumps = []
+        self.dumps.append((every, writer))
+
     def cmd_thermo(self, args):
         self.thermo_every = int(args[0])
 
@@ -389,6 +408,12 @@ class Script:
     # run
     # ------------------------------------------------------------------
     def _state(self) -> State:
+        if getattr(self, "_restart_state", None) is not None:
+            st = self._restart_state
+            mass = np.asarray(st.mass).copy()
+            for t, m in self.masses.items():
+                mass[t] = m
+            return st.replace(mass=jnp.asarray(mass, self.dtype))
         if self.positions is None:
             raise ScriptError("No atoms created")
         mass = np.zeros(self.ntypes + 1)
@@ -443,6 +468,33 @@ class Script:
             self.log("   " + "".join(vals))
 
         rows = eng.run(n, thermo_every=self.thermo_every or max(n, 1),
-                       on_thermo=on_thermo)
+                       on_thermo=on_thermo,
+                       callbacks=getattr(self, "dumps", ()))
         self.last_rows = rows
+        self.log(eng.timers.performance_summary(eng.ctx.dt))
         return rows
+
+    # ------------------------------------------------------------------
+    # checkpoint / restart (SURVEY.md section 5.4: state to persist is only
+    # x, v, image, type, box — both reference pair styles set restartinfo=0,
+    # pair_aeam.cpp:38, pair_rebomos.cpp:60; potentials re-derive from files)
+    # ------------------------------------------------------------------
+    def cmd_write_restart(self, args):
+        from ..run.checkpoint import save_state
+        st = self.engine.state if self.engine else self._state()
+        save_state(args[0], st)
+        self.log(f"Wrote restart file {args[0]}")
+
+    def cmd_read_restart(self, args):
+        from ..run.checkpoint import load_state
+        st = load_state(args[0], dtype=self.dtype)
+        self.box = st.box
+        self.ntypes = len(np.asarray(st.mass)) - 1
+        self.positions = np.asarray(st.x)
+        self.types = np.asarray(st.type)
+        for t, m in enumerate(np.asarray(st.mass)[1:], start=1):
+            if m > 0:
+                self.masses[t] = float(m)
+        self._restart_state = st
+        self.engine = None
+        self.log(f"Read restart file {args[0]} ({st.natoms} atoms)")

@@ -38,6 +38,7 @@ from ..fixes.base import Fix, StepContext
 from ..neighbor.build import NeighborData, build_neighbor_data
 from ..potentials.base import PairStyle
 from . import thermo as thermo_mod
+from .timers import Timers
 
 
 class Engine:
@@ -69,6 +70,7 @@ class Engine:
         self._plan = None
         self._cut_mats_dev = None
         self._maxdisp_is_device = False
+        self.timers = Timers()
 
         for fix in self.fixes:
             self.state = fix.setup(self.state, self.ctx)
@@ -238,20 +240,30 @@ class Engine:
 
     # -- main loop ----------------------------------------------------------
     def run(self, nsteps: int, thermo_every: int = 0,
-            on_thermo: Callable[[dict], None] | None = None):
+            on_thermo: Callable[[dict], None] | None = None,
+            callbacks: Sequence[tuple] = ()):
         """Run `nsteps`; collect thermo rows every `thermo_every` steps
-        (including step 0, like LAMMPS)."""
+        (including step 0, like LAMMPS).
+
+        callbacks: (every, fn) pairs; fn(state) fires whenever the step
+        count crosses a multiple of `every` (dump files, periodic restart).
+        """
+        self.timers.start_run(self.state.natoms)
         pe, W = self.evaluate()
         rows = []
 
         def emit():
-            row = self._thermo(self.state, pe, W)
+            with self.timers.section("Output"):
+                row = self._thermo(self.state, pe, W)
             rows.append(row)
             if on_thermo:
                 on_thermo(row)
 
         if thermo_every:
             emit()
+        for every, fn in callbacks:
+            with self.timers.section("Output"):
+                fn(self.state)
 
         half_skin_sq = (0.5 * self.skin) ** 2
         done = 0
@@ -260,28 +272,41 @@ class Engine:
             if thermo_every:
                 to_thermo = thermo_every - (done % thermo_every)
                 seg = min(seg, to_thermo)
+            for every, _ in callbacks:
+                seg = min(seg, every - (done % every))
 
             start_state = self.state
-            new_state, pe, W, maxdisp_sq = self._segment(
-                self.state, self.nbr, seg)
-
-            if float(maxdisp_sq) > half_skin_sq:
-                # mid-segment half-skin violation possible: redo exactly
-                self.state = start_state
-                self.rebuild_neighbors()
+            with self.timers.section("Pair"):
                 new_state, pe, W, maxdisp_sq = self._segment(
                     self.state, self.nbr, seg)
+                disp_tripped = float(maxdisp_sq) > half_skin_sq
+
+            if disp_tripped:
+                # mid-segment half-skin violation possible: redo exactly
+                self.state = start_state
+                with self.timers.section("Neigh"):
+                    self.rebuild_neighbors()
+                with self.timers.section("Pair"):
+                    new_state, pe, W, maxdisp_sq = self._segment(
+                        self.state, self.nbr, seg)
+                    still_tripped = float(maxdisp_sq) > half_skin_sq
                 self.state = new_state
-                if float(maxdisp_sq) > half_skin_sq:
+                if still_tripped:
                     # moved > skin/2 within one fresh segment; rebuild so
                     # the *next* segment starts valid
-                    self.rebuild_neighbors()
+                    with self.timers.section("Neigh"):
+                        self.rebuild_neighbors()
             else:
                 self.state = new_state
 
             done += seg
             if thermo_every and done % thermo_every == 0:
                 emit()
+            for every, fn in callbacks:
+                if done % every == 0:
+                    with self.timers.section("Output"):
+                        fn(self.state)
 
+        self.timers.end_run(nsteps)
         self.thermo_rows = rows
         return rows

@@ -64,7 +64,7 @@ def test_unknown_command_raises():
 def test_noop_commands_warn():
     s = Script(log=lambda _: None)
     with pytest.warns(UserWarning):
-        s.command("dump 1 all atom 10 foo.lammpstrj")
+        s.command("processors 2 2 1")
 
 
 def test_line_continuation():

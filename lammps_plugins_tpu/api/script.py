@@ -292,6 +292,41 @@ class Script:
     def cmd_mass(self, args):
         self.masses[int(args[0])] = float(args[1])
 
+    def cmd_group(self, args):
+        """group ID style args: region <rid> | type <t...> | id <ranges>."""
+        gid, style = args[0], args[1]
+        if self.types is None:
+            raise ScriptError("group before create_atoms")
+        n = len(self.types)
+        if style == "region":
+            reg = self.regions[args[2]]
+            mask = np.asarray(reg.inside(jnp.asarray(self.positions)))
+        elif style == "type":
+            wanted = {int(a) for a in args[2:]}
+            mask = np.isin(np.asarray(self.types), list(wanted))
+        elif style == "id":
+            mask = np.zeros(n, bool)
+            for spec in args[2:]:
+                if ":" in spec:
+                    a, b = spec.split(":")
+                    mask[int(a) - 1:int(b)] = True
+                else:
+                    mask[int(spec) - 1] = True
+        else:
+            raise ScriptError(f"Unsupported group style {style}")
+        if not hasattr(self, "groups"):
+            self.groups = {}
+        self.groups[gid] = mask
+        self.log(f"{int(mask.sum())} atoms in group {gid}")
+
+    def _group_mask(self, gid: str):
+        if gid == "all":
+            return None
+        groups = getattr(self, "groups", {})
+        if gid not in groups:
+            raise ScriptError(f"Unknown group {gid}")
+        return groups[gid]
+
     def cmd_pair_style(self, args):
         self.pair_style_name = args[0]
         if args[0] not in ("rebomos", "aeam", "none", "zero"):
@@ -337,6 +372,30 @@ class Script:
             self._restart_state = st
         self.engine = None
 
+    def cmd_replicate(self, args):
+        """replicate nx ny nz — tile the system along the box vectors."""
+        nx, ny, nz = (int(a) for a in args[:3])
+        if self.positions is None:
+            raise ScriptError("replicate before create_atoms")
+        h = self.box.h_np()
+        lo = self.box.lo_np()
+        reps = []
+        treps = []
+        for i in range(nx):
+            for j in range(ny):
+                for k in range(nz):
+                    shift = i * h[0] + j * h[1] + k * h[2]
+                    reps.append(self.positions + shift)
+                    treps.append(self.types)
+        self.positions = np.concatenate(reps)
+        self.types = np.concatenate(treps)
+        self.box = Box.triclinic(
+            nx * h[0, 0], ny * h[1, 1], nz * h[2, 2],
+            xy=ny * h[1, 0], xz=nz * h[2, 0], yz=nz * h[2, 1],
+            lo=lo, periodic=self.boundary, dtype=self.dtype)
+        self.engine = None
+        self.log(f"Replicated system: {len(self.positions)} atoms")
+
     def cmd_timestep(self, args):
         self.dt = float(args[0])
         self.engine = None
@@ -350,9 +409,12 @@ class Script:
     def cmd_fix(self, args):
         fid, group, style = args[0], args[1], args[2]
         rest = args[3:]
+        gmask = self._group_mask(group)
         if style == "nve":
-            self.fixes.append(FixNVE())
+            self.fixes.append(FixNVE(group_mask=gmask))
         elif style == "nvt":
+            if gmask is not None:
+                raise ScriptError("fix nvt currently requires group 'all'")
             if rest[0] != "temp":
                 raise ScriptError("fix nvt requires `temp Tstart Tstop Tdamp`")
             self.fixes.append(FixNVT(float(rest[1]), float(rest[2]),
@@ -371,13 +433,35 @@ class Script:
             if len(rest) > 3 and rest[3] == "region":
                 region = self.regions[rest[4]]
             self.fixes.append(FixBfield(b[0], b[1], b[2], region=region,
-                                        fix_id=fid))
+                                        group_mask=gmask, fix_id=fid))
         else:
             raise ScriptError(f"Unsupported fix style {style}")
         self.engine = None
 
     def cmd_unfix(self, args):
         raise ScriptError("unfix not yet supported")
+
+    def cmd_compute(self, args):
+        """compute ID group style — pe/atom and ke/atom supported."""
+        cid, group, style = args[0], args[1], args[2]
+        if group != "all":
+            raise ScriptError("compute supports group 'all' only")
+        if style == "pe/atom":
+            def provider(state):
+                eng = self.engine
+                return eng.pair.energy_peratom(state.x, state.type, eng.nbr,
+                                               state.box.h)
+        elif style == "ke/atom":
+            def provider(state):
+                import jax.numpy as jnp
+                m = state.per_atom_mass
+                return 0.5 * self.units.mvv2e * m \
+                    * jnp.sum(state.v ** 2, axis=1)
+        else:
+            raise ScriptError(f"Unsupported compute style {style}")
+        if not hasattr(self, "computes"):
+            self.computes = {}
+        self.computes[f"c_{cid}"] = provider
 
     def cmd_dump(self, args):
         """dump ID group-ID style N file [cols...] (atom / custom)."""
@@ -386,10 +470,11 @@ class Script:
             int(args[3]), args[4]
         if group != "all":
             raise ScriptError("dump supports group 'all' only")
+        providers = getattr(self, "computes", {})
         if style == "atom":
             writer = DumpWriter(path)
         elif style == "custom":
-            writer = DumpWriter(path, columns=args[5:])
+            writer = DumpWriter(path, columns=args[5:], providers=providers)
         else:
             raise ScriptError(f"Unsupported dump style {style}")
         if not hasattr(self, "dumps"):
@@ -456,11 +541,32 @@ class Script:
         header = "   " + "".join(f"{c:>15}" for c in self.thermo_cols)
         self.log(header)
 
+        fix_by_id = {f"{i+1}": fx for i, fx in enumerate(self.fixes)}
+        fix_by_id.update({getattr(fx, "key", "").split(":")[-1]: fx
+                          for fx in self.fixes})
+
+        def fix_output(col):
+            """f_ID -> compute_scalar; f_ID[k] -> compute_vector(k)."""
+            name = col[2:]
+            k = None
+            if "[" in name:
+                name, idx = name[:-1].split("[")
+                k = int(idx)
+            fx = fix_by_id.get(name)
+            if fx is None:
+                return 0.0
+            if k is None:
+                return float(fx.energy(eng.state, eng.ctx))
+            return float(fx.vector(eng.state)[k - 1])
+
         def on_thermo(row):
             vals = []
             for c in self.thermo_cols:
-                key = self._COLMAP.get(c, c)
-                v = row.get(key, 0.0) if key else 0.0
+                if c.startswith("f_"):
+                    v = fix_output(c)
+                else:
+                    key = self._COLMAP.get(c, c)
+                    v = row.get(key, 0.0) if key else 0.0
                 if c == "step":
                     vals.append(f"{int(v):>15d}")
                 else:

@@ -16,16 +16,25 @@ from .base import Fix, StepContext
 class FixNVE(Fix):
     time_integrate = True
 
-    def __init__(self, group=None):
-        self.group = group   # group masks: future work (reference uses 'all')
+    def __init__(self, group_mask=None):
+        """group_mask: optional [N] bool — integrate only these atoms
+        (LAMMPS `fix ID <group> nve`); None = all."""
+        self.group_mask = group_mask
+
+    def _sel(self, state):
+        if self.group_mask is None:
+            return 1.0
+        import jax.numpy as jnp
+        return jnp.asarray(self.group_mask).astype(state.x.dtype)[:, None]
 
     def initial_integrate(self, state: State, ctx: StepContext) -> State:
         m = state.per_atom_mass[:, None]
-        v = state.v + ctx.dtf * state.f / m
-        x = state.x + ctx.dt * v
+        s = self._sel(state)
+        v = state.v + s * (ctx.dtf * state.f / m)
+        x = state.x + s * (ctx.dt * v)
         return state.replace(x=x, v=v)
 
     def final_integrate(self, state: State, ctx: StepContext) -> State:
         m = state.per_atom_mass[:, None]
-        v = state.v + ctx.dtf * state.f / m
+        v = state.v + self._sel(state) * (ctx.dtf * state.f / m)
         return state.replace(v=v)

@@ -91,6 +91,35 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         list_cut=list_cut, skin=skin)
 
 
+def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
+                           skin: float, natoms: int,
+                           slack: float = 1.6) -> RebuildPlan:
+    """Capacity estimation from mean density — no host neighbor build.
+
+    Sizes every capacity from rho = N/V assuming near-uniform density (true
+    for condensed-phase MD); the jitted rebuild's overflow flags catch
+    underestimates and trigger exact re-sizing, so this is a fast path, not
+    a correctness assumption.
+    """
+    cuts = {k: np.asarray(v, np.float64) for k, v in requests.items()}
+    list_cut = max(float(v.max()) for v in cuts.values()) + skin
+    h = box.h_np()
+    vol = abs(np.linalg.det(h))
+    rho = natoms / vol
+    widths = box.perpendicular_widths_np()
+    margins = [(list_cut + skin) / widths[d] if box.periodic[d] else 0.0
+               for d in range(3)]
+
+    expanded = vol * np.prod([1 + 2 * m for m in margins])
+    ghost_count = int(rho * (expanded - vol)) + 64
+    occupancy = int(rho * list_cut ** 3 * 1.2) + 8
+    k_counts = {name: int(rho * 4.0 / 3.0 * np.pi
+                          * (float(c.max()) + skin) ** 3 * 1.15) + 8
+                for name, c in cuts.items()}
+    return make_plan(box, requests, skin, ghost_count, occupancy, k_counts,
+                     slack=slack)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
                    cut_mats: Dict[str, jnp.ndarray]):
@@ -167,10 +196,15 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     ncid = jnp.where(in_rng, ncid, ncells + 1)                   # oob row
     cand = dense[ncid].reshape(n, 27 * C)                        # [n, 27C]
 
-    # distances to candidates (sentinel m_all -> far row)
+    # distances to candidates (sentinel m_all -> far row); computed per
+    # Cartesian component so every big intermediate is [n, 27C] with the
+    # large dim minor — a [n, 27C, 3] tensor would tile its last dim to
+    # 128 lanes (42x padding) and OOM at 100k atoms
     x_pad = jnp.concatenate([x_all, jnp.full((1, 3), 1e7, dtype)], axis=0)
-    d = x_pad[cand] - xw[:, None, :]
-    rsq = jnp.sum(d * d, axis=-1)
+    rsq = jnp.zeros(cand.shape, dtype)
+    for a in range(3):
+        da = x_pad[:, a][cand] - xw[:, a][:, None]
+        rsq = rsq + da * da
     valid = (cand < m_all) & (cand != jnp.arange(n)[:, None])
     t_pad = jnp.concatenate([t_all, jnp.zeros(1, t_all.dtype)])
     tj = t_pad[cand]

@@ -80,6 +80,35 @@ class NeighborList:
         return self.idx.shape[1]
 
 
+def edge_components(x: jnp.ndarray, ghosts: Ghosts, nlist: NeighborList,
+                    h: jnp.ndarray, strain: jnp.ndarray | None = None):
+    """Per-edge displacement components (dx, dy, dz) as three [N, K] arrays.
+
+    TPU layout note: a [N, K, 3] displacement tensor gets its minor dim
+    padded to the 128-lane tile — a 42x memory blowup that OOMs at
+    100k-atom scale (observed: a 4.9 GB logical intermediate allocated as
+    208 GB).  Keeping each Cartesian component as its own [N, K] array
+    makes K the minor dim, which tiles natively.
+
+    Strain enters as d'_a = d_a + sum_b d_b * strain[b, a] (the virial
+    trick; see edge_vectors).
+    """
+    x_all = ghosts.all_positions(x, h)
+    idx = nlist.idx
+    comps = []
+    for a in range(3):
+        col = x_all[:, a]
+        comps.append(col[idx] - x[:, a][:, None])
+    if strain is not None:
+        d0, d1, d2 = comps
+        comps = [comps[a] + d0 * strain[0, a] + d1 * strain[1, a]
+                 + d2 * strain[2, a] for a in range(3)]
+    dx, dy, dz = comps
+    rsq = dx * dx + dy * dy + dz * dz
+    rsq_safe = jnp.where(nlist.mask, rsq, 1.0)
+    return dx, dy, dz, rsq_safe, nlist.mask
+
+
 def edge_vectors(x: jnp.ndarray, ghosts: Ghosts, nlist: NeighborList,
                  h: jnp.ndarray, strain: jnp.ndarray | None = None):
     """Per-edge displacement vectors d[i,k] = x_neighbor - x_center.

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..neighbor.neighbor import edge_vectors
+from ..neighbor.neighbor import edge_components
 from ..neighbor.build import NeighborData
 from .base import PairStyle, register_pair_style
 from .spline import make_spline
@@ -192,7 +192,7 @@ class AEAM(PairStyle):
         el_own = self.typemap[types]                   # [N]
         el_all = self.typemap[ghosts.all_types(types)]
 
-        d, rsq, mask = edge_vectors(x, ghosts, main, h, strain)
+        dx, dy, dz, rsq, mask = edge_components(x, ghosts, main, h, strain)
         r = jnp.sqrt(rsq)
         ei = el_own[:, None]
         ej = el_all[main.idx]
@@ -214,7 +214,9 @@ class AEAM(PairStyle):
 
         # angular density: sum_{j<k} 2 f f (cos+1/3)^2
         #   == sum over ordered j != k of f f (cos+1/3)^2
-        dots = jnp.einsum("nkd,nld->nkl", d, d)
+        dots = (dx[:, :, None] * dx[:, None, :]
+                + dy[:, :, None] * dy[:, None, :]
+                + dz[:, :, None] * dz[:, None, :])
         cs = dots / (r[:, :, None] * r[:, None, :])
         ftet = (cs + 1.0 / 3.0) ** 2
         K = main.capacity
@@ -248,3 +250,43 @@ class AEAM(PairStyle):
         e_pair = 0.5 * jnp.sum(jnp.where(in_pair, phi, 0.0))
 
         return e_embed + e_pair
+
+    def energy_peratom(self, x, types, nbr: NeighborData, h):
+        """Per-atom energies exactly as the reference tallies them:
+        embedding F to each center with the 1/3 factor for angular atoms
+        (pair_aeam.cpp:296-301), and 0.5*phi per directed edge to the
+        CENTER only (cpp:389 adds to eatom[i], not j)."""
+        ghosts = nbr.ghosts
+        main = nbr.lists["main"]
+        el_own = self.typemap[types]
+        el_all = self.typemap[ghosts.all_types(types)]
+        z = jnp.zeros((3, 3), x.dtype)
+        dx, dy, dz, rsq, mask = edge_components(x, ghosts, main, h, z)
+        r = jnp.sqrt(rsq)
+        ei = el_own[:, None]
+        ej = el_all[main.idx]
+        ang_i = ei >= self.nnonangular
+        ang_j = ej >= self.nnonangular
+        cut_ij = self.cut[ei, ej]
+        leg_cut = cut_ij - jnp.where(ang_i & ang_j, CUTDEC, 0.0)
+        in_leg = mask & (r <= leg_cut)
+        fw = jnp.where(in_leg, self._rhor(ei, ej, r), 0.0)
+        rho_lin = jnp.sum(fw, axis=1)
+        dots = (dx[:, :, None] * dx[:, None, :]
+                + dy[:, :, None] * dy[:, None, :]
+                + dz[:, :, None] * dz[:, None, :])
+        cs = dots / (r[:, :, None] * r[:, None, :])
+        ftet = (cs + 1.0 / 3.0) ** 2
+        K = main.capacity
+        nd = ~jnp.eye(K, dtype=bool)[None]
+        rho_ang = jnp.sum(fw[:, :, None] * fw[:, None, :] * ftet
+                          * jnp.where(nd, 1.0, 0.0), axis=(1, 2))
+        ang_center = el_own >= self.nnonangular
+        rho = jnp.where(ang_center, rho_ang, rho_lin)
+        rho_pow = jnp.where(ang_center, jnp.sqrt(jnp.maximum(rho, 0.0)),
+                            rho)
+        p_arg = rho_pow * self.frho_rdrho[el_own] + 1.0
+        embed = self._embed(el_own, p_arg)
+        eat = jnp.where(ang_center, embed / 3.0, embed)
+        phi = jnp.where(mask & (r <= cut_ij), self._phi(ei, ej, r), 0.0)
+        return eat + 0.5 * jnp.sum(phi, axis=1)

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..neighbor.neighbor import edge_vectors
+from ..neighbor.neighbor import edge_components
 from ..neighbor.build import NeighborData
 from .base import PairStyle, register_pair_style
 from .tables import REBOMoSTables, read_rebomos
@@ -169,7 +169,7 @@ class REBOMoS(PairStyle):
         return e_rebo + e_lj
 
     def _rebo_energy(self, x, strain, el_own, el_all, ghosts, rebo, h):
-        d, rsq, mask = edge_vectors(x, ghosts, rebo, h, strain)  # [N,K,3]
+        dx, dy, dz, rsq, mask = edge_components(x, ghosts, rebo, h, strain)
         r = jnp.sqrt(rsq)
         ei = el_own[:, None]                    # [N,1]
         ej = el_all[rebo.idx]                   # [N,K]
@@ -189,8 +189,11 @@ class REBOMoS(PairStyle):
         VA = -w * self.BIJc[ei, ej] * jnp.exp(-self.Beta[ei, ej] * r)
 
         # angular sum for p_ij: Etmp = sum_{k != j} w_ik g(cos theta_jik)
-        # (pair_rebomos.cpp:607-629) — [N, K(j), K(k)]
-        dots = jnp.einsum("nkd,nld->nkl", d, d)
+        # (pair_rebomos.cpp:607-629) — [N, K(j), K(k)], built from the
+        # per-component edge arrays (no [N,K,3] tensor; see edge_components)
+        dots = (dx[:, :, None] * dx[:, None, :]
+                + dy[:, :, None] * dy[:, None, :]
+                + dz[:, :, None] * dz[:, None, :])
         cos = dots / (r[:, :, None] * r[:, None, :])
         # Straight-through clamp to [-1, 1]: the reference clamps the value
         # (pair_rebomos.cpp:617-618) but still applies the full dcos/dr chain
@@ -213,33 +216,90 @@ class REBOMoS(PairStyle):
         e_edge = jnp.where(live, VR + pij * VA, 0.0)
         return 0.5 * jnp.sum(e_edge)
 
-    def _lj_energy(self, x, strain, el_own, el_all, ghosts, master, h):
-        d, rsq, mask = edge_vectors(x, ghosts, master, h, strain)
+    def energy_peratom(self, x, types, nbr: NeighborData, h):
+        """Per-atom energies (eatom) under ev_tally's half-half split.
+
+        Totals match energy() exactly.  The per-atom partition of the bond
+        order uses the directed p_ij (the symmetrized (p_ij+p_ji)/2 would
+        need the reverse-edge gather); only the per-atom split differs from
+        LAMMPS, by +/- VA*(p_ij-p_ji)/4 per edge — the sum is identical.
+        """
+        ghosts = nbr.ghosts
+        rebo = nbr.lists["rebo"]
+        master = nbr.lists["master"]
+        el_own = self.typemap[types]
+        el_all = self.typemap[ghosts.all_types(types)]
+        z = jnp.zeros((3, 3), x.dtype)
+        n = x.shape[0]
+
+        def scatter_half(per_edge, nlist):
+            """0.5 to the center + 0.5 to the neighbor's owner."""
+            eat = 0.5 * jnp.sum(per_edge, axis=1)
+            owner_all = jnp.concatenate(
+                [jnp.arange(n, dtype=ghosts.owner.dtype), ghosts.owner])
+            j_owner = owner_all[nlist.idx]
+            return eat.at[j_owner.reshape(-1)].add(
+                0.5 * per_edge.reshape(-1))
+
+        # REBO edges: recompute the per-edge energy pieces
+        dx, dy, dz, rsq, mask = edge_components(x, ghosts, rebo, h, z)
         r = jnp.sqrt(rsq)
         ei = el_own[:, None]
-        ej = el_all[master.idx]
+        ej = el_all[rebo.idx]
+        w = jnp.where(mask, sp_cutoff(r, self.rcmin[ei, ej],
+                                      self.rcmax[ei, ej]), 0.0)
+        nM = jnp.sum(w * (ej == 0), axis=1)
+        nS = jnp.sum(w * (ej == 1), axis=1)
+        VR = w * (1.0 + self.Q[ei, ej] / r) * self.A[ei, ej] \
+            * jnp.exp(-self.alpha[ei, ej] * r)
+        VA = -w * self.BIJc[ei, ej] * jnp.exp(-self.Beta[ei, ej] * r)
+        dots = (dx[:, :, None] * dx[:, None, :]
+                + dy[:, :, None] * dy[:, None, :]
+                + dz[:, :, None] * dz[:, None, :])
+        cos = jnp.clip(dots / (r[:, :, None] * r[:, None, :]), -1.0, 1.0)
+        g = g_spline(cos, self.b[el_own][:, None, None, :],
+                     self.bg[el_own][:, None, None, :])
+        K = rebo.capacity
+        kmask = mask[:, None, :] & ~jnp.eye(K, dtype=bool)[None]
+        Etmp = jnp.sum(jnp.where(kmask, w[:, None, :] * g, 0.0), axis=2)
+        P = p_coord(nM, nS, self.a[el_own])
+        pij = jax.lax.rsqrt(1.0 + Etmp + P[:, None])
+        live = mask & (w > TOL)
+        e_edge = jnp.where(live, 0.5 * (VR + pij * VA), 0.0)
+        eat = scatter_half(e_edge, rebo)
 
+        # LJ edges
+        _, _, _, rsq, mask = edge_components(x, ghosts, master, h, z)
+        r = jnp.sqrt(rsq)
+        ej = el_all[master.idx]
+        vlj = self._vlj(el_own[:, None], ej, r, rsq)
+        eat = eat + scatter_half(jnp.where(mask, 0.5 * vlj, 0.0), master)
+        return eat
+
+    def _vlj(self, ei, ej, r, rsq):
         sig = self.sigma[ei, ej]
         eps = self.epsilon[ei, ej]
         ljmin = self.rcLJmin[ei, ej]
         ljmax = self.rcLJmax[ei, ej]
-
-        # standard 12-6 regime, r >= 0.95 sigma (pair_rebomos.cpp:524-529)
         r2inv = 1.0 / rsq
         r6inv = r2inv * r2inv * r2inv
         v_126 = r6inv * (self.lj3[ei, ej] * r6inv - self.lj4[ei, ej])
-
-        # cubic ramp below 0.95 sigma (pair_rebomos.cpp:532-543): c2, c3
-        # match LJ value and slope at 0.95 sigma
         drw = 0.95 * sig - ljmin
-        r6c = (1.0 / 0.95) ** 6                      # (sigma/(0.95 sigma))^6
+        r6c = (1.0 / 0.95) ** 6
         vdw = 4.0 * eps * r6c * (r6c - 1.0)
         dvdw = (-4.0 * eps / (0.95 * sig)) * r6c * (12.0 * r6c - 6.0)
         c2 = ((3.0 / drw) * vdw - dvdw) / drw
         c3 = (vdw / (drw * drw) - c2) / drw
         drp = r - ljmin
         v_ramp = drp * drp * (drp * c3 + c2)
+        return jnp.where((r > ljmax) | (r < ljmin), 0.0,
+                         jnp.where(r >= 0.95 * sig, v_126, v_ramp))
 
-        vlj = jnp.where((r > ljmax) | (r < ljmin), 0.0,
-                        jnp.where(r >= 0.95 * sig, v_126, v_ramp))
+    def _lj_energy(self, x, strain, el_own, el_all, ghosts, master, h):
+        """Three-regime switched LJ (pair_rebomos.cpp:518-543): zero outside
+        [rcLJmin, rcLJmax], standard 12-6 above 0.95 sigma, cubic ramp with
+        value+slope matched at 0.95 sigma below it."""
+        _, _, _, rsq, mask = edge_components(x, ghosts, master, h, strain)
+        r = jnp.sqrt(rsq)
+        vlj = self._vlj(el_own[:, None], el_all[master.idx], r, rsq)
         return 0.5 * jnp.sum(jnp.where(mask, vlj, 0.0))

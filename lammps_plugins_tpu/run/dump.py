@@ -20,9 +20,12 @@ from ..core.state import State
 class DumpWriter:
     def __init__(self, path: str, columns: Sequence[str] = ("id", "type",
                                                             "xs", "ys", "zs"),
-                 append: bool = False):
+                 append: bool = False, providers=None):
+        """providers: optional {column_name: fn(state) -> [N] array} for
+        computed columns (e.g. c_1 for `compute 1 all pe/atom`)."""
         self.path = path
         self.columns = list(columns)
+        self.providers = dict(providers or {})
         self._fh = open(path, "a" if append else "w")
 
     def close(self):
@@ -58,6 +61,8 @@ class DumpWriter:
                 vals[c] = np.asarray(state.f)[:, "xyz".index(c[1])]
             elif c == "q":
                 vals[c] = np.asarray(state.q)
+            elif c in self.providers:
+                vals[c] = np.asarray(self.providers[c](state))
             else:
                 raise ValueError(f"Unknown dump column {c!r}")
 

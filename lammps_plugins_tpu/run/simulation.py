@@ -134,11 +134,27 @@ class Engine:
                          jnp.asarray(np.linalg.inv(h), dtype),
                          jnp.asarray(self.state.box.lo_np(), dtype))
 
+    def _make_plan_fast(self, slack: float = 1.6):
+        """Density-based capacity estimation (no host neighbor build)."""
+        from ..neighbor import device_build
+
+        requests = self.pair.neighbor_requests()
+        self._plan = device_build.make_plan_from_density(
+            self.state.box, requests, self.skin, self.state.natoms,
+            slack=slack)
+        dtype = self.state.x.dtype
+        h = self.state.box.h_np()
+        self._cut_mats_dev = {k: jnp.asarray(v, dtype)
+                              for k, v in requests.items()}
+        self._box_dev = (jnp.asarray(h, dtype),
+                         jnp.asarray(np.linalg.inv(h), dtype),
+                         jnp.asarray(self.state.box.lo_np(), dtype))
+
     def _rebuild_on_device(self, _retry: int = 0):
         from ..neighbor import device_build
 
         if self._plan is None:
-            self._make_plan()
+            self._make_plan_fast()
         h, h_inv, lo = self._box_dev
         xw, image, nbr, flags = device_build.device_rebuild(
             self._plan, self.state.x, self.state.image, self.state.type,

@@ -33,15 +33,25 @@ def _watchdog(seconds):
 
 def main():
     global _done
-    nx = int(os.environ.get("BENCH_NX", 22))
-    ny = int(os.environ.get("BENCH_NY", 25))
-    nz = int(os.environ.get("BENCH_NZ", 20))
+    nx = int(os.environ.get("BENCH_NX", 34))
+    ny = int(os.environ.get("BENCH_NY", 48))
+    nz = int(os.environ.get("BENCH_NZ", 10))
     steps = int(os.environ.get("BENCH_STEPS", 50))
     reps = int(os.environ.get("BENCH_REPS", 3))
 
     import numpy as np
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: the heavy traces (device rebuild with
+    # its top_k, the fused segment) compile once per shape and are reused
+    # by every later bench invocation
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     # the tunneled backend's first device->host pull can take minutes; pay
     # it up front so it never lands inside a timed section
@@ -50,14 +60,15 @@ def main():
     print(f"# device warmup: {time.time()-t0:.1f}s", file=sys.stderr,
           flush=True)
 
-    from lammps_plugins_tpu.api.scenes import rebomos_bulk
+    from lammps_plugins_tpu.api.scenes import rebomos_bulk_commensurate
     from lammps_plugins_tpu.core import units
     from lammps_plugins_tpu.fixes.nve import FixNVE
     from lammps_plugins_tpu.potentials.rebomos import REBOMoS
     from lammps_plugins_tpu.run.simulation import Engine
 
     t0 = time.time()
-    state = rebomos_bulk(nx=nx, ny=ny, nz=nz, dtype=jnp.float32)
+    state = rebomos_bulk_commensurate(nx=nx, ny=ny, nz=nz,
+                                      dtype=jnp.float32)
     pair = REBOMoS.from_file(
         "/root/reference/USER-REBOMOS/MoS.REBO.set5b", ["M", "S"],
         dtype=jnp.float32)
@@ -105,5 +116,10 @@ def main():
 
 
 if __name__ == "__main__":
-    threading.Thread(target=_watchdog, args=(1500,), daemon=True).start()
+    # exit CLEANLY before any external timeout: a SIGKILLed TPU client
+    # wedges the tunneled device for ~10-20 min (see memory notes), while a
+    # clean exit leaves it healthy; combined with the persistent compile
+    # cache, repeated invocations make monotonic progress
+    wd = int(os.environ.get("BENCH_WATCHDOG", 1500))
+    threading.Thread(target=_watchdog, args=(wd,), daemon=True).start()
     main()

@@ -52,6 +52,45 @@ def alsi_sample(nc: int = 20, si_fraction: float = 0.0075, seed: int = 7683797,
     return set_type_fraction(state, 2, si_fraction, seed)
 
 
+def rebomos_bulk_commensurate(nx: int = 34, ny: int = 48, nz: int = 10,
+                              dtype=jnp.float32):
+    """Defect-free MoS2 bulk: box vectors are exact integer combinations of
+    the lattice vectors (A = nx a1, B = (ny/2) a1 + ny a2, C = nz a3), so
+    the crystal tiles the periodic box perfectly.
+
+    The reference's own example boxes (and rebomos_bulk here) are slightly
+    incommensurate with the custom lattice — their periodic boundaries
+    carry built-in defects, down to 1.8 A cross-boundary pairs at some
+    sizes.  Benchmarks use this scene so throughput is measured on sane
+    physics.  Defaults give 97,920 atoms (~the BASELINE 100k config).
+    """
+    if ny % 2:
+        raise ValueError("ny must be even (B = ny/2 a1 + ny a2)")
+    a1 = np.asarray(MOS2_A1)
+    a2 = np.asarray(MOS2_A2)
+    a3 = np.asarray(MOS2_A3)
+    A = nx * a1
+    B = (ny // 2) * a1 + ny * a2
+    C = nz * a3
+    box = Box.triclinic(lx=A[0], ly=B[1], lz=C[2], xy=B[0], xz=C[0],
+                        yz=C[1], dtype=dtype)
+
+    basis = np.asarray(MOS2_BASIS)
+    ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij")
+    cells = np.stack([ii.ravel(), jj.ravel(), kk.ravel()], 1).astype(float)
+    frac = cells[:, None, :] + basis[None, :, :]
+    pos = frac.reshape(-1, 3) @ np.stack([a1, a2, a3])
+    types = np.tile(np.asarray(MOS2_BASIS_TYPES, np.int32), len(cells))
+    # wrap into the box (host side, f64)
+    h = box.h_np()
+    f = pos @ np.linalg.inv(h)
+    pos = (f - np.floor(f)) @ h
+    mass = np.array([0.0, *MOS2_MASSES])
+    return State.create(x=jnp.asarray(pos, dtype=dtype), type=types,
+                        box=box, mass=mass, dtype=dtype)
+
+
 def rebomos_bulk(nx: int = 4, ny: int = 8, nz: int = 1, tilt_xy: float = -2.0,
                  dtype=jnp.float64):
     """The in.rebomos-bulk scene, optionally replicated.

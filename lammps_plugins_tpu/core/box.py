@@ -113,11 +113,21 @@ class Box:
         return alpha, beta, gamma
 
     # -- coordinate transforms --------------------------------------------
+    # All row-vector x matrix products are written component-wise: TPU
+    # lowers f32 `@` to MXU bfloat16 by default, which corrupts coordinates
+    # at the 1e-2 relative level — fatal for wrapping and image math.
+    @staticmethod
+    def _matvec3(v: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+        m = m.astype(v.dtype)
+        return jnp.stack(
+            [v[..., 0] * m[0, a] + v[..., 1] * m[1, a] + v[..., 2] * m[2, a]
+             for a in range(3)], axis=-1)
+
     def to_fractional(self, x: jnp.ndarray) -> jnp.ndarray:
-        return (x - self.lo) @ self.h_inv
+        return self._matvec3(x - self.lo, self.h_inv)
 
     def from_fractional(self, f: jnp.ndarray) -> jnp.ndarray:
-        return f @ self.h + self.lo
+        return self._matvec3(f, self.h) + self.lo
 
     def wrap(self, x: jnp.ndarray, image: jnp.ndarray | None = None):
         """Wrap positions into the primary cell; update integer image flags.
@@ -137,7 +147,7 @@ class Box:
 
     def unmap(self, x: jnp.ndarray, image: jnp.ndarray) -> jnp.ndarray:
         """Continuous (unwrapped) coordinates from wrapped x + image flags."""
-        return x + image.astype(x.dtype) @ self.h
+        return x + self._matvec3(image.astype(x.dtype), self.h)
 
     # -- host-side helpers (numpy, used by scene builders and the neighbor
     # rebuild path; eager jnp ops are expensive on remote-compile TPU

@@ -72,8 +72,11 @@ class Prism(Region):
     def inside(self, x):
         h = jnp.asarray(self.h_matrix(), x.dtype)
         lo = jnp.asarray(self.lo, x.dtype)
-        f = (x - lo) @ jnp.linalg.inv(h) if False else \
-            (x - lo) @ _tri_inv(h)
+        m = _tri_inv(h)
+        v = x - lo
+        # component-wise (TPU f32 @ is bf16 by default)
+        f = jnp.stack([v[..., 0] * m[0, a] + v[..., 1] * m[1, a]
+                       + v[..., 2] * m[2, a] for a in range(3)], axis=-1)
         return jnp.all((f >= 0.0) & (f <= 1.0), axis=-1)
 
 

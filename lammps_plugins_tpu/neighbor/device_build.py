@@ -32,6 +32,19 @@ from .build import NeighborData
 BIG = jnp.inf
 
 
+def _matvec3(v, m):
+    """Row-vector [.,3] x [3,3] written component-wise.
+
+    NEVER use `@` for coordinate transforms on the device: TPU routes f32
+    matmuls through the MXU at bfloat16 precision by default, which is a
+    ~1e-2 relative error — enough to corrupt wrapped positions and ghost
+    images by tenths of an Angstrom (observed: impossible 2.02 A bonds and
+    a 0.6 eV/atom energy error at 99k atoms, TPU-only)."""
+    return jnp.stack(
+        [v[:, 0] * m[0, a] + v[:, 1] * m[1, a] + v[:, 2] * m[2, a]
+         for a in range(3)], axis=1)
+
+
 @dataclasses.dataclass(frozen=True)
 class RebuildPlan:
     """Static geometry + capacities for the jitted rebuild (hashable)."""
@@ -113,9 +126,27 @@ def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
     expanded = vol * np.prod([1 + 2 * m for m in margins])
     ghost_count = int(rho * (expanded - vol)) + 64
     occupancy = int(rho * list_cut ** 3 * 1.2) + 8
-    k_counts = {name: int(rho * 4.0 / 3.0 * np.pi
-                          * (float(c.max()) + skin) ** 3 * 1.15) + 8
-                for name, c in cuts.items()}
+    # per-center-type neighbor count: sum over neighbor types of the
+    # composition-weighted cutoff ball (a max-cutoff ball overestimates
+    # mixed-cutoff lists by ~2x, which doubles the K^2 angular memory)
+    k_counts = {}
+    for name, c in cuts.items():
+        t = c.shape[0] - 1 if c.ndim == 2 else 0
+        if c.ndim == 2 and t >= 1:
+            per_type = []
+            for i_t in range(1, t + 1):
+                tot = 0.0
+                for j_t in range(1, t + 1):
+                    if c[i_t, j_t] > 0:
+                        # equal-composition assumption; exact counts are
+                        # re-measured by the rebuild flags anyway
+                        tot += (rho / t) * 4.0 / 3.0 * np.pi \
+                            * (float(c[i_t, j_t]) + skin) ** 3
+                per_type.append(tot)
+            k_counts[name] = int(max(per_type) * 1.1) + 8
+        else:
+            k_counts[name] = int(rho * 4.0 / 3.0 * np.pi
+                                 * (float(np.max(c)) + skin) ** 3 * 1.1) + 8
     return make_plan(box, requests, skin, ghost_count, occupancy, k_counts,
                      slack=slack)
 
@@ -131,11 +162,11 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     n = x.shape[0]
 
     # -- wrap into the primary cell (Domain::pbc) --------------------------
-    f = (x - lo) @ h_inv
+    f = _matvec3(x - lo, h_inv)
     shift = jnp.floor(f)
-    xw = (f - shift) @ h + lo
-    image = image + shift.astype(jnp.int32)
     fw = f - shift
+    xw = _matvec3(fw, h) + lo
+    image = image + shift.astype(jnp.int32)
 
     # -- ghost-image compaction --------------------------------------------
     S = len(plan.shifts)
@@ -211,9 +242,14 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     ti = types[:, None]
 
     # -- per-tier top-K compaction ------------------------------------------
+    # flags carry both overflow booleans and the measured maxima, so the
+    # engine can tighten over-estimated capacities after the first rebuild
     lists = {}
     flags = {"ghost_overflow": ghost_overflow,
-             "cell_overflow": cell_overflow}
+             "cell_overflow": cell_overflow,
+             "count:ghost": jnp.sum(flat),
+             "count:cell": jnp.max(jnp.where(cid_sorted < ncells, slot, 0))
+             + 1}
     for name, K in plan.k_caps:
         cut = cut_mats[name][ti, tj] + plan.skin
         m_tier = valid & (rsq < cut * cut)
@@ -223,7 +259,9 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
         mask = neg_vals > -BIG
         idx = jnp.where(mask, idx, 0).astype(jnp.int32)
         lists[name] = NeighborList(idx=idx, mask=mask)
-        flags[f"k_overflow:{name}"] = jnp.max(jnp.sum(m_tier, axis=1)) > K
+        kmax = jnp.max(jnp.sum(m_tier, axis=1))
+        flags[f"k_overflow:{name}"] = kmax > K
+        flags[f"count:k:{name}"] = kmax
 
     nbr = NeighborData(ghosts=ghosts, lists=lists, x_build=xw,
                        skin=plan.skin)

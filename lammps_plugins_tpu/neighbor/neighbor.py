@@ -48,8 +48,18 @@ class Ghosts:
 
     def all_positions(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         """[N+Mg, 3] owned positions followed by ghost images (differentiable
-        w.r.t. x — the heart of the no-comm force design)."""
-        ghost_x = x[self.owner] + self.shift.astype(x.dtype) @ h
+        w.r.t. x — the heart of the no-comm force design).
+
+        The shift*h product is written out component-wise: on TPU a `@`
+        matmul routes f32 through the MXU at bfloat16 precision by default,
+        which displaced ghost images by up to ~0.6 A in a 280 A box and
+        silently corrupted energies at scale.
+        """
+        s = self.shift.astype(x.dtype)
+        h = h.astype(x.dtype)
+        cols = [s[:, 0] * h[0, a] + s[:, 1] * h[1, a] + s[:, 2] * h[2, a]
+                for a in range(3)]
+        ghost_x = x[self.owner] + jnp.stack(cols, axis=1)
         return jnp.concatenate([x, ghost_x], axis=0)
 
     def all_types(self, types: jnp.ndarray) -> jnp.ndarray:

@@ -275,10 +275,16 @@ def _local_energy(pair, n_dev, names, x_me, strain, type_ext, halo_shift,
     x_left = jax.lax.ppermute(x_me, AXIS, fwd)
     x_right = jax.lax.ppermute(x_me, AXIS, bwd)
     hd = h.astype(x_me.dtype)
+
+    def shift_cart(s):
+        # component-wise, not @: TPU f32 matmul is bf16 by default
+        return jnp.stack([s[0] * hd[0, a] + s[1] * hd[1, a]
+                          + s[2] * hd[2, a] for a in range(3)])
+
     x_ext = jnp.concatenate([
         x_me,
-        x_left + halo_shift[0] @ hd,
-        x_right + halo_shift[1] @ hd], axis=0)
+        x_left + shift_cart(halo_shift[0]),
+        x_right + shift_cart(halo_shift[1])], axis=0)
 
     # assemble a NeighborData-shaped view and reuse the pair's energy
     from ..neighbor.neighbor import Ghosts, NeighborList

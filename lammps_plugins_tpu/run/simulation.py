@@ -134,7 +134,7 @@ class Engine:
                          jnp.asarray(np.linalg.inv(h), dtype),
                          jnp.asarray(self.state.box.lo_np(), dtype))
 
-    def _make_plan_fast(self, slack: float = 1.6):
+    def _make_plan_fast(self, slack: float = 1.25):
         """Density-based capacity estimation (no host neighbor build)."""
         from ..neighbor import device_build
 
@@ -160,19 +160,45 @@ class Engine:
             self._plan, self.state.x, self.state.image, self.state.type,
             h, h_inv, lo, self._cut_mats_dev)
         flags_np = jax.device_get(flags)
-        if any(bool(v) for v in flags_np.values()):
-            if _retry >= 2:
+        if any(bool(v) for k, v in flags_np.items() if "overflow" in k):
+            if _retry >= 6:
                 raise RuntimeError(f"device rebuild overflow persists: "
                                    f"{flags_np}")
-            # re-size capacities from an exact host build and retry
-            self._plan = None
-            self._seg_jit = None      # shapes change -> retrace
-            self._make_plan(slack=1.3 * (2.0 ** (_retry + 1)))
+            # re-size from the measured counts and retry; counts measured
+            # under a too-small capacity can themselves be truncated (e.g.
+            # cell occupancy before all ghosts fit), so convergence can
+            # take a few rounds — each round's measurement is exact for the
+            # capacities that DID fit
+            self._resize_plan(flags_np, grow=1.5 * (1.3 ** _retry))
             return self._rebuild_on_device(_retry + 1)
+        if not getattr(self, "_plan_tightened", False):
+            # the density estimate over-pads (K^2 angular tensors make this
+            # expensive); re-size once to measured counts + slack
+            self._plan_tightened = True
+            want_k = {k.split(":", 2)[2]: int(v) for k, v in flags_np.items()
+                      if k.startswith("count:k:")}
+            loose = any(dict(self._plan.k_caps)[name] > 1.4 * max(v, 8)
+                        for name, v in want_k.items())
+            if loose:
+                self._resize_plan(flags_np, grow=1.15)
+                return self._rebuild_on_device(_retry)
         self.state = self.state.replace(x=xw, image=image)
         self.nbr = nbr
         self._x_build_np = None
         self._maxdisp_is_device = True
+
+    def _resize_plan(self, flags_np, grow: float):
+        """New plan from measured counts (overflow recovery / tightening)."""
+        from ..neighbor import device_build
+
+        requests = self.pair.neighbor_requests()
+        k_counts = {k.split(":", 2)[2]: int(v)
+                    for k, v in flags_np.items() if k.startswith("count:k:")}
+        self._plan = device_build.make_plan(
+            self.state.box, requests, self.skin,
+            int(flags_np["count:ghost"]), int(flags_np["count:cell"]),
+            k_counts, slack=grow)
+        self._seg_jit = None       # shapes change -> retrace
 
     # -- jitted computations ----------------------------------------------
     def _one_step(self, state: State, nbr: NeighborData):

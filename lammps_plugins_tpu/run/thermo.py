@@ -21,7 +21,12 @@ from ..core.units import UnitSystem
 
 def kinetic_tensor(state: State, units: UnitSystem) -> jnp.ndarray:
     m = state.per_atom_mass
-    return units.mvv2e * jnp.einsum("i,ia,ib->ab", m, state.v, state.v)
+    v = state.v
+    # explicit components (an einsum contraction would hit the MXU at
+    # bfloat16 precision on TPU)
+    rows = [[jnp.sum(m * v[:, a] * v[:, b]) for b in range(3)]
+            for a in range(3)]
+    return units.mvv2e * jnp.stack([jnp.stack(r) for r in rows])
 
 
 def kinetic_energy(state: State, units: UnitSystem) -> jnp.ndarray:

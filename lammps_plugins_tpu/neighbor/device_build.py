@@ -56,14 +56,16 @@ class RebuildPlan:
     cell_size: float
     ghost_capacity: int
     cell_capacity: int
-    k_caps: Tuple[Tuple[str, int], ...]        # per-tier K
+    k_caps: Tuple[Tuple[str, int], ...]        # per-tier K ([N,K] tiers)
     list_cut: float                            # candidate cutoff (inc. skin)
     skin: float
+    cell_tiers: Tuple[str, ...] = ()           # tiers evaluated in cell form
 
 
 def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
               ghost_count: int, max_cell_occupancy: int,
-              k_counts: Dict[str, int], slack: float = 1.3) -> RebuildPlan:
+              k_counts: Dict[str, int], slack: float = 1.3,
+              cell_tiers: Tuple[str, ...] = ()) -> RebuildPlan:
     """Derive static geometry + padded capacities from an exact host build."""
     cuts = {k: np.asarray(v, np.float64) for k, v in requests.items()}
     list_cut = max(float(v.max()) for v in cuts.values()) + skin
@@ -100,13 +102,14 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         grid_dims=dims, cell_size=list_cut,
         ghost_capacity=pad8(max(ghost_count, 8)),
         cell_capacity=pad8(max(max_cell_occupancy, 4)),
-        k_caps=tuple(sorted((k, pad8(v)) for k, v in k_counts.items())),
-        list_cut=list_cut, skin=skin)
+        k_caps=tuple(sorted((k, pad8(v)) for k, v in k_counts.items()
+                            if k not in cell_tiers)),
+        list_cut=list_cut, skin=skin, cell_tiers=tuple(sorted(cell_tiers)))
 
 
 def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
-                           skin: float, natoms: int,
-                           slack: float = 1.6) -> RebuildPlan:
+                           skin: float, natoms: int, slack: float = 1.6,
+                           cell_tiers: Tuple[str, ...] = ()) -> RebuildPlan:
     """Capacity estimation from mean density — no host neighbor build.
 
     Sizes every capacity from rho = N/V assuming near-uniform density (true
@@ -148,7 +151,7 @@ def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
             k_counts[name] = int(rho * 4.0 / 3.0 * np.pi
                                  * (float(np.max(c)) + skin) ** 3 * 1.1) + 8
     return make_plan(box, requests, skin, ghost_count, occupancy, k_counts,
-                     slack=slack)
+                     slack=slack, cell_tiers=cell_tiers)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -256,13 +259,33 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
         key = jnp.where(m_tier, rsq, BIG)
         neg_vals, pos = jax.lax.top_k(-key, K)
         idx = jnp.take_along_axis(cand, pos, axis=1)
+        jtype = jnp.take_along_axis(tj, pos, axis=1)
         mask = neg_vals > -BIG
         idx = jnp.where(mask, idx, 0).astype(jnp.int32)
-        lists[name] = NeighborList(idx=idx, mask=mask)
+        jtype = jnp.where(mask, jtype, 0).astype(jnp.int32)
+        lists[name] = NeighborList(idx=idx, mask=mask, jtype=jtype)
         kmax = jnp.max(jnp.sum(m_tier, axis=1))
         flags[f"k_overflow:{name}"] = kmax > K
         flags[f"count:k:{name}"] = kmax
 
+    # -- cell decomposition for cell-form tiers ------------------------------
+    cells = None
+    if plan.cell_tiers:
+        from .build import CellData
+        # neighbor-cell map is pure static geometry
+        offs27 = offs.reshape(27, 3)
+        ids = np.arange(ncells)
+        c3s = np.stack([ids // (dims[1] * dims[2]),
+                        (ids // dims[2]) % dims[1],
+                        ids % dims[2]], axis=1)
+        nb = c3s[:, None, :] + offs27[None, :, :]
+        ok = np.all((nb >= 0) & (nb < np.array(dims)), axis=-1)
+        nbid = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
+        nbid = np.where(ok, nbid, ncells + 1).astype(np.int32)
+        cell_jt = jnp.where(dense < m_all, t_pad[dense], 0).astype(jnp.int32)
+        cells = CellData(table=dense, jtype=cell_jt,
+                         nbr_map=jnp.asarray(nbid), n_owned=n)
+
     nbr = NeighborData(ghosts=ghosts, lists=lists, x_build=xw,
-                       skin=plan.skin)
+                       skin=plan.skin, cells=cells)
     return xw, image, nbr, flags

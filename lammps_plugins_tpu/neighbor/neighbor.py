@@ -73,17 +73,27 @@ class NeighborList:
 
     idx[i, k] indexes into the [N+Mg] owned+ghost array; mask[i, k] marks
     valid slots.  Padded idx entries are 0 (safe to gather; always masked).
+
+    jtype optionally caches the per-edge neighbor atom TYPE (types are
+    static between rebuilds): a per-step el_all[idx] gather costs ~9 ns per
+    edge on TPU, so precomputing it at rebuild removes a large-array gather
+    from every force evaluation.
     """
 
     idx: jnp.ndarray    # [N, K] int32
     mask: jnp.ndarray   # [N, K] bool
+    jtype: jnp.ndarray | None = None   # [N, K] int32 neighbor type
 
     def tree_flatten(self):
-        return (self.idx, self.mask), None
+        if self.jtype is None:
+            return (self.idx, self.mask), False
+        return (self.idx, self.mask, self.jtype), True
 
     @classmethod
-    def tree_unflatten(cls, aux, children):
-        return cls(*children)
+    def tree_unflatten(cls, has_jtype, children):
+        if has_jtype:
+            return cls(*children)
+        return cls(children[0], children[1], None)
 
     @property
     def capacity(self) -> int:

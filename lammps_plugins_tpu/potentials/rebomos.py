@@ -40,6 +40,23 @@ from .tables import REBOMoSTables, read_rebomos
 TOL = 1.0e-9      # pair_rebomos.cpp:52
 
 
+def lookup22(tab, ei, ej):
+    """2x2 parameter table lookup as a where-chain.
+
+    A fancy-index gather tab[ei, ej] on [N,K]-shaped indices costs ~450 ms
+    per table at 36M edges on TPU (XLA general gather ~9 ns/index); the
+    select chain costs ~6 ms.  Element indices are 0 (Mo) or 1 (S)."""
+    return jnp.where(ei == 0,
+                     jnp.where(ej == 0, tab[0, 0], tab[0, 1]),
+                     jnp.where(ej == 0, tab[1, 0], tab[1, 1]))
+
+
+def lookup2(tab, ei):
+    """Per-element row select for [2, ...] coefficient tables."""
+    shape = (ei.shape + (1,) * (tab.ndim - 1))
+    return jnp.where(ei.reshape(shape) == 0, tab[0], tab[1])
+
+
 def _poly6(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Horner evaluation of c0 + c1 x + ... + c6 x^6; coeffs [..., 7]."""
     out = coeffs[..., 6]
@@ -152,7 +169,21 @@ class REBOMoS(PairStyle):
                 rebo[i, j] = t.rcmax[ei, ej]
         return {"master": master, "rebo": rebo}
 
+    def _jel(self, nlist, el_all):
+        """Per-edge neighbor element: from the rebuild-time jtype cache via
+        a short select chain (per-type), falling back to the el_all gather
+        (one large-array gather per force evaluation otherwise)."""
+        if nlist.jtype is None:
+            return el_all[nlist.idx]
+        out = jnp.zeros(nlist.jtype.shape, jnp.int32)
+        for t in range(1, len(self.typemap_np)):
+            out = jnp.where(nlist.jtype == t, int(self.typemap_np[t]), out)
+        return out
+
     # -- energy ------------------------------------------------------------
+    #: tiers the device rebuild should provide in gather-free cell form
+    cell_tiers = ("master",)
+
     def energy(self, x, strain, types, nbr: NeighborData, h,
                center_mask=None):
         # all energy terms are per-edge and the list masks already restrict
@@ -164,17 +195,78 @@ class REBOMoS(PairStyle):
 
         e_rebo = self._rebo_energy(x, strain, el_own, el_all, ghosts,
                                    nbr.lists["rebo"], h)
-        e_lj = self._lj_energy(x, strain, el_own, el_all, ghosts,
-                               nbr.lists["master"], h)
+        if "master" in nbr.lists:
+            e_lj = self._lj_energy(x, strain, el_own, el_all, ghosts,
+                                   nbr.lists["master"], h)
+        else:
+            e_lj = self._lj_energy_cells(x, strain, ghosts, nbr.cells, h)
         return e_rebo + e_lj
+
+    def _lj_energy_cells(self, x, strain, ghosts, cells, h):
+        """Switched LJ over the dense cell decomposition.
+
+        For each cell and each of its 27 neighbor cells, a [C, C] block of
+        pair interactions is evaluated as regular tensor arithmetic: the
+        only gathers are the tiny cell-table lookups ([ncells*C] indices),
+        not per-edge ones.  ~40x more pair evaluations than the [N, K]
+        list, but at full VPU throughput instead of 9 ns/gather-index.
+        """
+        x_all = ghosts.all_positions(x, h)
+        m_all = x_all.shape[0]
+        # positions + element in cell layout (cheap gathers: ~ncells*C)
+        xpad = jnp.concatenate(
+            [x_all, jnp.full((1, 3), 1e7, x.dtype)], axis=0)
+        cxs = [xpad[:, a][cells.table] for a in range(3)]  # 3 x [ncellsP, C]
+        cel = jnp.zeros(cells.jtype.shape, jnp.int32)
+        for t_ in range(1, len(self.typemap_np)):
+            cel = jnp.where(cells.jtype == t_, int(self.typemap_np[t_]), cel)
+        valid = cells.table < m_all
+        owned = cells.table < cells.n_owned
+
+        ncells = cells.nbr_map.shape[0]
+        C = cells.table.shape[1]
+
+        @jax.checkpoint
+        def one_offset(carry, nb_col):
+            e_acc = carry
+            # neighbor-cell data ([ncells] row gather of [C] rows)
+            bxs = [c[nb_col] for c in cxs]
+            bel = cel[nb_col]
+            bval = valid[nb_col]
+            bid = cells.table[nb_col]
+            # center cells are the first ncells rows
+            axs = [c[:ncells] for c in cxs]
+            ael = cel[:ncells]
+            aid = cells.table[:ncells]
+            actr = (owned[:ncells] & valid[:ncells])
+
+            d = [bxs[a][:, None, :] - axs[a][:, :, None] for a in range(3)]
+            if strain is not None:
+                d = [d[a] + d[0] * strain[0, a] + d[1] * strain[1, a]
+                     + d[2] * strain[2, a] for a in range(3)]
+            rsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            pmask = (actr[:, :, None] & bval[:, None, :]
+                     & (aid[:, :, None] != bid[:, None, :]))
+            rsq = jnp.where(pmask, rsq, 1.0)
+            r = jnp.sqrt(rsq)
+            vlj = self._vlj(ael[:, :, None], bel[:, None, :], r, rsq)
+            e_acc = e_acc + jnp.sum(jnp.where(pmask, vlj, 0.0))
+            return e_acc, None
+
+        # remat the per-offset body: without it, reverse-mode saves every
+        # offset's [ncells, C, C] intermediates (GBs at 100k atoms)
+        e, _ = jax.lax.scan(one_offset, jnp.zeros((), x.dtype),
+                            cells.nbr_map.T)
+        return 0.5 * e
 
     def _rebo_energy(self, x, strain, el_own, el_all, ghosts, rebo, h):
         dx, dy, dz, rsq, mask = edge_components(x, ghosts, rebo, h, strain)
         r = jnp.sqrt(rsq)
         ei = el_own[:, None]                    # [N,1]
-        ej = el_all[rebo.idx]                   # [N,K]
+        ej = self._jel(rebo, el_all)
 
-        w = sp_cutoff(r, self.rcmin[ei, ej], self.rcmax[ei, ej])
+        w = sp_cutoff(r, lookup22(self.rcmin, ei, ej),
+                      lookup22(self.rcmax, ei, ej))
         w = jnp.where(mask, w, 0.0)
 
         # coordination numbers over the REBO shell (pair_rebomos.cpp:337-343)
@@ -182,11 +274,12 @@ class REBOMoS(PairStyle):
         nS = jnp.sum(w * (ej == 1), axis=1)
 
         # pair repulsion / attraction (pair_rebomos.cpp:418-427)
-        Q = self.Q[ei, ej]
-        A = self.A[ei, ej]
-        alpha = self.alpha[ei, ej]
+        Q = lookup22(self.Q, ei, ej)
+        A = lookup22(self.A, ei, ej)
+        alpha = lookup22(self.alpha, ei, ej)
         VR = w * (1.0 + Q / r) * A * jnp.exp(-alpha * r)
-        VA = -w * self.BIJc[ei, ej] * jnp.exp(-self.Beta[ei, ej] * r)
+        VA = -w * lookup22(self.BIJc, ei, ej) \
+            * jnp.exp(-lookup22(self.Beta, ei, ej) * r)
 
         # angular sum for p_ij: Etmp = sum_{k != j} w_ik g(cos theta_jik)
         # (pair_rebomos.cpp:607-629) — [N, K(j), K(k)], built from the
@@ -201,15 +294,15 @@ class REBOMoS(PairStyle):
         # (cos = -1) exist in the perfect MoS2 lattice, so a plain clip would
         # zero gradients the reference keeps.
         cos = cos + jax.lax.stop_gradient(jnp.clip(cos, -1.0, 1.0) - cos)
-        bI = self.b[el_own][:, None, None, :]   # [N,1,1,7]
-        bgI = self.bg[el_own][:, None, None, :]
+        bI = lookup2(self.b, el_own)[:, None, None, :]   # [N,1,1,7]
+        bgI = lookup2(self.bg, el_own)[:, None, None, :]
         g = g_spline(cos, bI, bgI)              # [N,K,K]
         K = rebo.capacity
         not_diag = ~jnp.eye(K, dtype=bool)[None, :, :]
         kmask = mask[:, None, :] & not_diag     # k valid, k != j (slot)
         Etmp = jnp.sum(jnp.where(kmask, w[:, None, :] * g, 0.0), axis=2)
 
-        P = p_coord(nM, nS, self.a[el_own])     # [N]
+        P = p_coord(nM, nS, lookup2(self.a, el_own))     # [N]
         pij = jax.lax.rsqrt(1.0 + Etmp + P[:, None])
 
         live = mask & (w > TOL)                 # wij <= TOL skip, cpp:412
@@ -226,7 +319,7 @@ class REBOMoS(PairStyle):
         """
         ghosts = nbr.ghosts
         rebo = nbr.lists["rebo"]
-        master = nbr.lists["master"]
+        master = nbr.lists.get("master")
         el_own = self.typemap[types]
         el_all = self.typemap[ghosts.all_types(types)]
         z = jnp.zeros((3, 3), x.dtype)
@@ -245,45 +338,101 @@ class REBOMoS(PairStyle):
         dx, dy, dz, rsq, mask = edge_components(x, ghosts, rebo, h, z)
         r = jnp.sqrt(rsq)
         ei = el_own[:, None]
-        ej = el_all[rebo.idx]
-        w = jnp.where(mask, sp_cutoff(r, self.rcmin[ei, ej],
-                                      self.rcmax[ei, ej]), 0.0)
+        ej = self._jel(rebo, el_all)
+        w = jnp.where(mask, sp_cutoff(r, lookup22(self.rcmin, ei, ej),
+                                      lookup22(self.rcmax, ei, ej)), 0.0)
         nM = jnp.sum(w * (ej == 0), axis=1)
         nS = jnp.sum(w * (ej == 1), axis=1)
-        VR = w * (1.0 + self.Q[ei, ej] / r) * self.A[ei, ej] \
-            * jnp.exp(-self.alpha[ei, ej] * r)
-        VA = -w * self.BIJc[ei, ej] * jnp.exp(-self.Beta[ei, ej] * r)
+        VR = w * (1.0 + lookup22(self.Q, ei, ej) / r) \
+            * lookup22(self.A, ei, ej) \
+            * jnp.exp(-lookup22(self.alpha, ei, ej) * r)
+        VA = -w * lookup22(self.BIJc, ei, ej) \
+            * jnp.exp(-lookup22(self.Beta, ei, ej) * r)
         dots = (dx[:, :, None] * dx[:, None, :]
                 + dy[:, :, None] * dy[:, None, :]
                 + dz[:, :, None] * dz[:, None, :])
         cos = jnp.clip(dots / (r[:, :, None] * r[:, None, :]), -1.0, 1.0)
-        g = g_spline(cos, self.b[el_own][:, None, None, :],
-                     self.bg[el_own][:, None, None, :])
+        g = g_spline(cos, lookup2(self.b, el_own)[:, None, None, :],
+                     lookup2(self.bg, el_own)[:, None, None, :])
         K = rebo.capacity
         kmask = mask[:, None, :] & ~jnp.eye(K, dtype=bool)[None]
         Etmp = jnp.sum(jnp.where(kmask, w[:, None, :] * g, 0.0), axis=2)
-        P = p_coord(nM, nS, self.a[el_own])
+        P = p_coord(nM, nS, lookup2(self.a, el_own))
         pij = jax.lax.rsqrt(1.0 + Etmp + P[:, None])
         live = mask & (w > TOL)
         e_edge = jnp.where(live, 0.5 * (VR + pij * VA), 0.0)
         eat = scatter_half(e_edge, rebo)
 
         # LJ edges
-        _, _, _, rsq, mask = edge_components(x, ghosts, master, h, z)
-        r = jnp.sqrt(rsq)
-        ej = el_all[master.idx]
-        vlj = self._vlj(el_own[:, None], ej, r, rsq)
-        eat = eat + scatter_half(jnp.where(mask, 0.5 * vlj, 0.0), master)
+        if master is not None:
+            _, _, _, rsq, mask = edge_components(x, ghosts, master, h, z)
+            r = jnp.sqrt(rsq)
+            ej = self._jel(master, el_all)
+            vlj = self._vlj(el_own[:, None], ej, r, rsq)
+            eat = eat + scatter_half(jnp.where(mask, 0.5 * vlj, 0.0), master)
+        else:
+            eat = eat + self._lj_peratom_cells(x, ghosts, nbr.cells, h, n)
+        return eat
+
+    def _lj_peratom_cells(self, x, ghosts, cells, h, n):
+        """Per-atom LJ from the cell decomposition (ev_tally half-half:
+        each directed pair puts vlj/4 on the center and vlj/4 on the
+        neighbor's owner; both directions appear, totalling vlj/2 each)."""
+        x_all = ghosts.all_positions(x, h)
+        m_all = x_all.shape[0]
+        xpad = jnp.concatenate([x_all, jnp.full((1, 3), 1e7, x.dtype)],
+                               axis=0)
+        cxs = [xpad[:, a][cells.table] for a in range(3)]
+        cel = jnp.zeros(cells.jtype.shape, jnp.int32)
+        for t_ in range(1, len(self.typemap_np)):
+            cel = jnp.where(cells.jtype == t_, int(self.typemap_np[t_]), cel)
+        valid = cells.table < m_all
+        owned = cells.table < cells.n_owned
+        owner_all = jnp.concatenate(
+            [jnp.arange(n, dtype=ghosts.owner.dtype), ghosts.owner])
+        ncells = cells.nbr_map.shape[0]
+        aid = cells.table[:ncells]
+        actr = owned[:ncells] & valid[:ncells]
+        a_tgt = jnp.where(actr, aid, 0)
+
+        @jax.checkpoint
+        def one_offset(eat, nb_col):
+            bxs = [c[nb_col] for c in cxs]
+            bel = cel[nb_col]
+            bval = valid[nb_col]
+            bid = cells.table[nb_col]
+            axs = [c[:ncells] for c in cxs]
+            ael = cel[:ncells]
+            d = [bxs[a][:, None, :] - axs[a][:, :, None] for a in range(3)]
+            rsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            pmask = (actr[:, :, None] & bval[:, None, :]
+                     & (aid[:, :, None] != bid[:, None, :]))
+            rsq = jnp.where(pmask, rsq, 1.0)
+            vlj = jnp.where(pmask, self._vlj(ael[:, :, None],
+                                             bel[:, None, :],
+                                             jnp.sqrt(rsq), rsq), 0.0)
+            ea = 0.25 * jnp.sum(vlj, axis=2)                 # [ncells, C]
+            eb = 0.25 * jnp.sum(vlj, axis=1)
+            b_tgt = owner_all[jnp.where(bval, bid, 0)]
+            b_tgt = jnp.where(bval, b_tgt, 0)
+            eat = eat.at[a_tgt.reshape(-1)].add(ea.reshape(-1))
+            eat = eat.at[b_tgt.reshape(-1)].add(
+                jnp.where(bval, eb, 0.0).reshape(-1))
+            return eat, None
+
+        eat, _ = jax.lax.scan(one_offset, jnp.zeros(n, x.dtype),
+                              cells.nbr_map.T)
         return eat
 
     def _vlj(self, ei, ej, r, rsq):
-        sig = self.sigma[ei, ej]
-        eps = self.epsilon[ei, ej]
-        ljmin = self.rcLJmin[ei, ej]
-        ljmax = self.rcLJmax[ei, ej]
+        sig = lookup22(self.sigma, ei, ej)
+        eps = lookup22(self.epsilon, ei, ej)
+        ljmin = lookup22(self.rcLJmin, ei, ej)
+        ljmax = lookup22(self.rcLJmax, ei, ej)
         r2inv = 1.0 / rsq
         r6inv = r2inv * r2inv * r2inv
-        v_126 = r6inv * (self.lj3[ei, ej] * r6inv - self.lj4[ei, ej])
+        v_126 = r6inv * (lookup22(self.lj3, ei, ej) * r6inv
+                         - lookup22(self.lj4, ei, ej))
         drw = 0.95 * sig - ljmin
         r6c = (1.0 / 0.95) ** 6
         vdw = 4.0 * eps * r6c * (r6c - 1.0)
@@ -301,5 +450,5 @@ class REBOMoS(PairStyle):
         value+slope matched at 0.95 sigma below it."""
         _, _, _, rsq, mask = edge_components(x, ghosts, master, h, strain)
         r = jnp.sqrt(rsq)
-        vlj = self._vlj(el_own[:, None], el_all[master.idx], r, rsq)
+        vlj = self._vlj(el_own[:, None], self._jel(master, el_all), r, rsq)
         return 0.5 * jnp.sum(jnp.where(mask, vlj, 0.0))

@@ -126,7 +126,7 @@ class Engine:
         occ = int(np.bincount(cid).max())
         self._plan = device_build.make_plan(
             self.state.box, requests, self.skin, ghost_count, occ, k_counts,
-            slack=slack)
+            slack=slack, cell_tiers=getattr(self.pair, "cell_tiers", ()))
         dtype = self.state.x.dtype
         self._cut_mats_dev = {k: jnp.asarray(v, dtype)
                               for k, v in requests.items()}
@@ -141,7 +141,7 @@ class Engine:
         requests = self.pair.neighbor_requests()
         self._plan = device_build.make_plan_from_density(
             self.state.box, requests, self.skin, self.state.natoms,
-            slack=slack)
+            slack=slack, cell_tiers=getattr(self.pair, "cell_tiers", ()))
         dtype = self.state.x.dtype
         h = self.state.box.h_np()
         self._cut_mats_dev = {k: jnp.asarray(v, dtype)
@@ -197,7 +197,8 @@ class Engine:
         self._plan = device_build.make_plan(
             self.state.box, requests, self.skin,
             int(flags_np["count:ghost"]), int(flags_np["count:cell"]),
-            k_counts, slack=grow)
+            k_counts, slack=grow,
+            cell_tiers=getattr(self.pair, "cell_tiers", ()))
         self._seg_jit = None       # shapes change -> retrace
 
     # -- jitted computations ----------------------------------------------

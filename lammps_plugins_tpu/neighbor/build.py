@@ -42,7 +42,8 @@ class CellData:
 
     table: jnp.ndarray     # [ncells+2, C] int32 atom ids (m_all = pad)
     jtype: jnp.ndarray     # [ncells+2, C] int32 atom types (0 = pad)
-    nbr_map: jnp.ndarray   # [ncells, 27] neighbor cell ids (static geometry)
+    nbr_map: jnp.ndarray   # [ncells, 14] half-offset neighbor cell ids
+                           # (col 0 = the cell itself; static geometry)
     n_owned: int           # aux: atoms with id < n_owned are owned centers
 
     def tree_flatten(self):

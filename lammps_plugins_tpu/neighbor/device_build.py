@@ -269,16 +269,22 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
         flags[f"count:k:{name}"] = kmax
 
     # -- cell decomposition for cell-form tiers ------------------------------
+    # Half-offset map: column 0 = the cell itself, columns 1..13 the
+    # lexicographically-positive neighbor offsets.  Each unordered cell
+    # pair appears exactly once, so a cell-form tier evaluates every
+    # candidate pair once (ownership-weighted) instead of twice — half
+    # the pair work of the naive 27-offset owned-center scheme.
     cells = None
     if plan.cell_tiers:
         from .build import CellData
         # neighbor-cell map is pure static geometry
-        offs27 = offs.reshape(27, 3)
+        offs14 = np.array([(0, 0, 0)] + [tuple(o) for o in offs
+                                         if tuple(o) > (0, 0, 0)], np.int32)
         ids = np.arange(ncells)
         c3s = np.stack([ids // (dims[1] * dims[2]),
                         (ids // dims[2]) % dims[1],
                         ids % dims[2]], axis=1)
-        nb = c3s[:, None, :] + offs27[None, :, :]
+        nb = c3s[:, None, :] + offs14[None, :, :]
         ok = np.all((nb >= 0) & (nb < np.array(dims)), axis=-1)
         nbid = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
         nbid = np.where(ok, nbid, ncells + 1).astype(np.int32)

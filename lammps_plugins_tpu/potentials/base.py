@@ -63,9 +63,25 @@ class PairStyle:
         E, (gx, gs) = jax.value_and_grad(e, argnums=(0, 1))(x, strain0)
         return E, -gx, -gs
 
-    def forces(self, x, types, nbr, h):
+    def energy_virial(self, x, types, nbr, h):
+        """(E, W) without forces — for thermo rows, where f is already
+        current from the step itself."""
         strain0 = jnp.zeros((3, 3), dtype=x.dtype)
-        return -jax.grad(lambda x_: self.energy(x_, strain0, types, nbr, h))(x)
+
+        def e(s_):
+            return self.energy(x, s_, types, nbr, h)
+
+        E, gs = jax.value_and_grad(e)(strain0)
+        return E, -gs
+
+    def forces(self, x, types, nbr, h):
+        """Forces only (hot path): no strain branch, no virial backward.
+
+        The reference computes the virial every step via virial_fdotr
+        (pair_rebomos.cpp:110), but only thermo output consumes it; here
+        the per-step work is pure -dE/dx and (E, W) are evaluated once per
+        thermo row instead (run/simulation.py)."""
+        return -jax.grad(lambda x_: self.energy(x_, None, types, nbr, h))(x)
 
 
 # registries live in ..registry (shared with fixes); re-exported here

@@ -205,11 +205,19 @@ class REBOMoS(PairStyle):
     def _lj_energy_cells(self, x, strain, ghosts, cells, h):
         """Switched LJ over the dense cell decomposition.
 
-        For each cell and each of its 27 neighbor cells, a [C, C] block of
-        pair interactions is evaluated as regular tensor arithmetic: the
-        only gathers are the tiny cell-table lookups ([ncells*C] indices),
-        not per-edge ones.  ~40x more pair evaluations than the [N, K]
-        list, but at full VPU throughput instead of 9 ns/gather-index.
+        For each cell and each of its 14 half-offset neighbor cells
+        (itself + the 13 lexicographically-positive offsets), a [C, C]
+        block of pair interactions is evaluated as regular tensor
+        arithmetic: the only gathers are the tiny cell-table lookups
+        ([ncells*C] indices), not per-edge ones.  More pair evaluations
+        than the [N, K] list, but at full VPU throughput instead of
+        ~15 ns/gather-index.
+
+        Pair accounting: each unordered candidate pair appears exactly
+        once (the self-cell block holds both slot orderings, hence its
+        extra 1/2), weighted by (owned_a + owned_b)/2 — the ownership sum
+        reproduces the owned-center double-count convention of the [N, K]
+        path, including pairs seen through periodic ghost images.
         """
         x_all = ghosts.all_positions(x, h)
         m_all = x_all.shape[0]
@@ -221,43 +229,49 @@ class REBOMoS(PairStyle):
         for t_ in range(1, len(self.typemap_np)):
             cel = jnp.where(cells.jtype == t_, int(self.typemap_np[t_]), cel)
         valid = cells.table < m_all
-        owned = cells.table < cells.n_owned
+        ownedf = jnp.where(cells.table < cells.n_owned,
+                           jnp.asarray(1.0, x.dtype), 0.0)
 
         ncells = cells.nbr_map.shape[0]
-        C = cells.table.shape[1]
+        noffs = cells.nbr_map.shape[1]
+        # self-cell blocks contain both slot orderings of each pair
+        scale = jnp.full((noffs,), 0.5, x.dtype).at[0].set(0.25)
 
         @jax.checkpoint
-        def one_offset(carry, nb_col):
-            e_acc = carry
+        def one_offset(e_acc, xs):
+            nb_col, s = xs
             # neighbor-cell data ([ncells] row gather of [C] rows)
             bxs = [c[nb_col] for c in cxs]
             bel = cel[nb_col]
             bval = valid[nb_col]
             bid = cells.table[nb_col]
+            bown = ownedf[nb_col]
             # center cells are the first ncells rows
             axs = [c[:ncells] for c in cxs]
             ael = cel[:ncells]
             aid = cells.table[:ncells]
-            actr = (owned[:ncells] & valid[:ncells])
+            aval = valid[:ncells]
+            aown = ownedf[:ncells]
 
             d = [bxs[a][:, None, :] - axs[a][:, :, None] for a in range(3)]
             if strain is not None:
                 d = [d[a] + d[0] * strain[0, a] + d[1] * strain[1, a]
                      + d[2] * strain[2, a] for a in range(3)]
             rsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-            pmask = (actr[:, :, None] & bval[:, None, :]
+            w = (aown[:, :, None] + bown[:, None, :]) * s
+            pmask = (aval[:, :, None] & bval[:, None, :]
                      & (aid[:, :, None] != bid[:, None, :]))
             rsq = jnp.where(pmask, rsq, 1.0)
             r = jnp.sqrt(rsq)
             vlj = self._vlj(ael[:, :, None], bel[:, None, :], r, rsq)
-            e_acc = e_acc + jnp.sum(jnp.where(pmask, vlj, 0.0))
+            e_acc = e_acc + jnp.sum(jnp.where(pmask, w * vlj, 0.0))
             return e_acc, None
 
         # remat the per-offset body: without it, reverse-mode saves every
         # offset's [ncells, C, C] intermediates (GBs at 100k atoms)
         e, _ = jax.lax.scan(one_offset, jnp.zeros((), x.dtype),
-                            cells.nbr_map.T)
-        return 0.5 * e
+                            (cells.nbr_map.T, scale))
+        return e
 
     def _rebo_energy(self, x, strain, el_own, el_all, ghosts, rebo, h):
         dx, dy, dz, rsq, mask = edge_components(x, ghosts, rebo, h, strain)
@@ -375,9 +389,10 @@ class REBOMoS(PairStyle):
         return eat
 
     def _lj_peratom_cells(self, x, ghosts, cells, h, n):
-        """Per-atom LJ from the cell decomposition (ev_tally half-half:
-        each directed pair puts vlj/4 on the center and vlj/4 on the
-        neighbor's owner; both directions appear, totalling vlj/2 each)."""
+        """Per-atom LJ from the half-offset cell decomposition (ev_tally
+        half-half split: each unordered pair instance puts vlj/2 on each
+        owned endpoint's owner; ghost endpoints collect their share from
+        the mirror-image instance where they are owned)."""
         x_all = ghosts.all_positions(x, h)
         m_all = x_all.shape[0]
         xpad = jnp.concatenate([x_all, jnp.full((1, 3), 1e7, x.dtype)],
@@ -387,41 +402,48 @@ class REBOMoS(PairStyle):
         for t_ in range(1, len(self.typemap_np)):
             cel = jnp.where(cells.jtype == t_, int(self.typemap_np[t_]), cel)
         valid = cells.table < m_all
-        owned = cells.table < cells.n_owned
-        owner_all = jnp.concatenate(
-            [jnp.arange(n, dtype=ghosts.owner.dtype), ghosts.owner])
+        ownedf = jnp.where(cells.table < cells.n_owned,
+                           jnp.asarray(1.0, x.dtype), 0.0)
         ncells = cells.nbr_map.shape[0]
+        noffs = cells.nbr_map.shape[1]
+        scale = jnp.full((noffs,), 0.5, x.dtype).at[0].set(0.25)
         aid = cells.table[:ncells]
-        actr = owned[:ncells] & valid[:ncells]
-        a_tgt = jnp.where(actr, aid, 0)
+        aval = valid[:ncells]
+        a_tgt = jnp.where(aval, aid, 0)
+        a_tgt = jnp.where(a_tgt < n, a_tgt, 0)     # ghost centers add 0
 
         @jax.checkpoint
-        def one_offset(eat, nb_col):
+        def one_offset(eat, xs):
+            nb_col, s = xs
             bxs = [c[nb_col] for c in cxs]
             bel = cel[nb_col]
             bval = valid[nb_col]
             bid = cells.table[nb_col]
+            bown = ownedf[nb_col]
             axs = [c[:ncells] for c in cxs]
             ael = cel[:ncells]
+            aown = ownedf[:ncells]
             d = [bxs[a][:, None, :] - axs[a][:, :, None] for a in range(3)]
             rsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-            pmask = (actr[:, :, None] & bval[:, None, :]
+            pmask = (aval[:, :, None] & bval[:, None, :]
                      & (aid[:, :, None] != bid[:, None, :]))
             rsq = jnp.where(pmask, rsq, 1.0)
             vlj = jnp.where(pmask, self._vlj(ael[:, :, None],
                                              bel[:, None, :],
                                              jnp.sqrt(rsq), rsq), 0.0)
-            ea = 0.25 * jnp.sum(vlj, axis=2)                 # [ncells, C]
-            eb = 0.25 * jnp.sum(vlj, axis=1)
-            b_tgt = owner_all[jnp.where(bval, bid, 0)]
-            b_tgt = jnp.where(bval, b_tgt, 0)
-            eat = eat.at[a_tgt.reshape(-1)].add(ea.reshape(-1))
+            # each endpoint's owner receives s * vlj if that endpoint is
+            # owned (the ghost share lands via the mirror instance)
+            ea = s * aown[:, :, None] * vlj
+            eb = s * bown[:, None, :] * vlj
+            eat = eat.at[a_tgt.reshape(-1)].add(
+                jnp.sum(ea, axis=2).reshape(-1))
+            b_tgt = jnp.where(bval & (bid < n), bid, 0)
             eat = eat.at[b_tgt.reshape(-1)].add(
-                jnp.where(bval, eb, 0.0).reshape(-1))
+                jnp.sum(eb, axis=1).reshape(-1))
             return eat, None
 
         eat, _ = jax.lax.scan(one_offset, jnp.zeros(n, x.dtype),
-                              cells.nbr_map.T)
+                              (cells.nbr_map.T, scale))
         return eat
 
     def _vlj(self, ei, ej, r, rsq):

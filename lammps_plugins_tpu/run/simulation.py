@@ -61,6 +61,7 @@ class Engine:
         self.thermo_rows: List[dict] = []
         self._seg_jit = None
         self._efv_jit = None
+        self._ev_jit = None
         self._thermo_jit = None
         # on-device rebuild: the TPU-native path for large systems (host
         # rebuild is O(seconds) at 100k atoms; device is O(ms))
@@ -208,8 +209,10 @@ class Engine:
             state = f.initial_integrate(state, ctx)
         for f in self.fixes:
             state = f.post_integrate(state, ctx)
-        pe, force, W = self.pair.energy_force_virial(
-            state.x, state.type, nbr, state.box.h)
+        # hot path is forces-only; energy/virial are evaluated separately
+        # at thermo boundaries (LAMMPS computes them every step but only
+        # output consumes them)
+        force = self.pair.forces(state.x, state.type, nbr, state.box.h)
         state = state.replace(f=force)
         for f in self.fixes:
             state = f.post_force(state, ctx)
@@ -218,26 +221,21 @@ class Engine:
         for f in self.fixes:
             state = f.end_of_step(state, ctx)
         state = state.replace(step=state.step + 1)
-        return state, pe, W
+        return state
 
     def _segment(self, state, nbr, nsteps: int):
         """Run `nsteps` fused steps on device. Compiled once per nsteps."""
         if self._seg_jit is None:
             def seg(state, nbr, nsteps):
-                def body(carry, _):
-                    st, _, _ = carry
-                    st, pe, W = self._one_step(st, nbr)
-                    return (st, pe, W), None
+                def body(st, _):
+                    return self._one_step(st, nbr), None
 
-                zero = jnp.zeros((), state.x.dtype)
-                w0 = jnp.zeros((3, 3), state.x.dtype)
-                (st, pe, W), _ = jax.lax.scan(
-                    body, (state, zero, w0), None, length=nsteps)
+                st, _ = jax.lax.scan(body, state, None, length=nsteps)
                 # max displacement^2 vs list-build positions, for the
                 # host-side rebuild decision without an extra eager op
                 d = st.x - nbr.x_build
                 maxdisp_sq = jnp.max(jnp.sum(d * d, axis=-1))
-                return st, pe, W, maxdisp_sq
+                return st, maxdisp_sq
 
             self._seg_jit = jax.jit(seg, static_argnums=2)
         return self._seg_jit(state, nbr, nsteps)
@@ -292,11 +290,15 @@ class Engine:
         count crosses a multiple of `every` (dump files, periodic restart).
         """
         self.timers.start_run(self.state.natoms)
-        pe, W = self.evaluate()
+        self.evaluate()
         rows = []
 
         def emit():
             with self.timers.section("Output"):
+                if self._ev_jit is None:
+                    self._ev_jit = jax.jit(self.pair.energy_virial)
+                pe, W = self._ev_jit(self.state.x, self.state.type,
+                                     self.nbr, self.state.box.h)
                 row = self._thermo(self.state, pe, W)
             rows.append(row)
             if on_thermo:
@@ -320,7 +322,7 @@ class Engine:
 
             start_state = self.state
             with self.timers.section("Pair"):
-                new_state, pe, W, maxdisp_sq = self._segment(
+                new_state, maxdisp_sq = self._segment(
                     self.state, self.nbr, seg)
                 disp_tripped = float(maxdisp_sq) > half_skin_sq
 
@@ -330,7 +332,7 @@ class Engine:
                 with self.timers.section("Neigh"):
                     self.rebuild_neighbors()
                 with self.timers.section("Pair"):
-                    new_state, pe, W, maxdisp_sq = self._segment(
+                    new_state, maxdisp_sq = self._segment(
                         self.state, self.nbr, seg)
                     still_tripped = float(maxdisp_sq) > half_skin_sq
                 self.state = new_state

@@ -5,14 +5,27 @@ rebuild costs tens of seconds on this class of host, which would dominate
 the step budget.  This module is the TPU-native rebuild from SURVEY.md
 section 7.1: everything — wrapping, ghost-image compaction, cell binning,
 candidate generation, per-tier top-k compaction — is one jitted function of
-fixed shapes, so a rebuild costs milliseconds of device time and no
-host<->device traffic beyond tiny overflow flags.
+fixed shapes, so a rebuild costs device milliseconds and no host<->device
+traffic beyond tiny overflow flags.
 
-Shapes are fixed by a host-side `RebuildPlan` (capacities with slack,
-derived from an initial exact host build); capacity overflow sets flags that
-the Engine checks, falling back to a host rebuild with larger capacities
-(the analogue of LAMMPS's 'neighbor list overflow, boost neigh_modify one',
-pair_rebomos.cpp:349-350 — but recoverable instead of fatal).
+Two grids, two products:
+
+  * A FINE grid sized by the largest [N, K]-tier cutoff (+skin) generates
+    per-atom neighbor candidates: 27 fine cells around each atom.  For
+    REBOMOS the [N, K] tier is the 3.8 A REBO shell, so the candidate row
+    is 27 * Cf ~ 500 wide instead of the 3456 a single interaction-range
+    grid needs — gathers and top_k shrink ~8x.  All bulk data moves by
+    ROW gathers of whole cell rows (TPU gather cost is per index, ~15 ns;
+    a [n, 27] row gather of Cf-wide rows costs ~40 ms where the naive
+    [n, 27*Cf] element gather costs seconds).
+  * A COARSE grid sized by the largest cell-form tier cutoff (+skin)
+    produces the dense cell table + half-offset neighbor map consumed by
+    gather-free cell-pair evaluation (potentials/rebomos.py).
+
+Shapes are fixed by a host-side `RebuildPlan` (capacities with slack);
+capacity overflow sets flags that the Engine checks, re-sizing and
+retrying (the recoverable analogue of LAMMPS's fatal neighbor-page
+overflow, pair_rebomos.cpp:349-350).
 """
 
 from __future__ import annotations
@@ -52,23 +65,38 @@ class RebuildPlan:
     shifts: Tuple[Tuple[int, int, int], ...]   # candidate image shifts
     margins: Tuple[float, float, float]        # fractional ghost margins
     grid_mn: Tuple[float, float, float]        # Cartesian grid origin
-    grid_dims: Tuple[int, int, int]
-    cell_size: float
     ghost_capacity: int
-    cell_capacity: int
+    # fine / candidate grid (feeds the [N, K] tiers)
+    cand_dims: Tuple[int, int, int]
+    cand_size: float
+    cand_capacity: int                         # Cf: fine-cell slots
     k_caps: Tuple[Tuple[str, int], ...]        # per-tier K ([N,K] tiers)
-    list_cut: float                            # candidate cutoff (inc. skin)
+    # coarse / cell grid (feeds cell-form tiers)
+    cell_dims: Tuple[int, int, int]
+    cell_size: float
+    cell_capacity: int                         # C: coarse-cell slots
+    cell_tiers: Tuple[str, ...]
+    list_cut: float                            # ghost halo width (inc. skin)
     skin: float
-    cell_tiers: Tuple[str, ...] = ()           # tiers evaluated in cell form
 
 
 def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
               ghost_count: int, max_cell_occupancy: int,
               k_counts: Dict[str, int], slack: float = 1.3,
-              cell_tiers: Tuple[str, ...] = ()) -> RebuildPlan:
-    """Derive static geometry + padded capacities from an exact host build."""
+              cell_tiers: Tuple[str, ...] = (),
+              cand_occupancy: int | None = None) -> RebuildPlan:
+    """Derive static geometry + padded capacities from measured counts.
+
+    max_cell_occupancy is the coarse-grid occupancy; cand_occupancy the
+    fine-grid one (estimated from the volume ratio when not measured).
+    """
     cuts = {k: np.asarray(v, np.float64) for k, v in requests.items()}
     list_cut = max(float(v.max()) for v in cuts.values()) + skin
+    knames = [k for k in cuts if k not in cell_tiers]
+    cand_size = (max(float(cuts[k].max()) for k in knames) + skin
+                 if knames else list_cut)
+    cell_size = (max(float(cuts[k].max()) for k in cell_tiers) + skin
+                 if cell_tiers else list_cut)
 
     widths = box.perpendicular_widths_np()
     margins = tuple(float((list_cut + skin) / widths[d])
@@ -92,19 +120,29 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
     corners = np.array(corners)
     mn = corners.min(axis=0) - 1e-6
     mx = corners.max(axis=0) + 1e-6
-    dims = tuple(int(np.ceil((mx[d] - mn[d]) / list_cut)) for d in range(3))
+    cand_dims = tuple(int(np.ceil((mx[d] - mn[d]) / cand_size))
+                      for d in range(3))
+    cell_dims = tuple(int(np.ceil((mx[d] - mn[d]) / cell_size))
+                      for d in range(3))
 
     def pad8(v):
         return max(8, int(-(-int(v * slack) // 8) * 8))
 
+    if cand_occupancy is None:
+        cand_occupancy = int(max_cell_occupancy
+                             * (cand_size / cell_size) ** 3) + 4
+
     return RebuildPlan(
         shifts=shifts, margins=margins, grid_mn=tuple(mn),
-        grid_dims=dims, cell_size=list_cut,
         ghost_capacity=pad8(max(ghost_count, 8)),
-        cell_capacity=pad8(max(max_cell_occupancy, 4)),
+        cand_dims=cand_dims, cand_size=cand_size,
+        cand_capacity=pad8(max(cand_occupancy, 2)),
         k_caps=tuple(sorted((k, pad8(v)) for k, v in k_counts.items()
                             if k not in cell_tiers)),
-        list_cut=list_cut, skin=skin, cell_tiers=tuple(sorted(cell_tiers)))
+        cell_dims=cell_dims, cell_size=cell_size,
+        cell_capacity=pad8(max(max_cell_occupancy, 4)),
+        cell_tiers=tuple(sorted(cell_tiers)),
+        list_cut=list_cut, skin=skin)
 
 
 def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
@@ -119,6 +157,11 @@ def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
     """
     cuts = {k: np.asarray(v, np.float64) for k, v in requests.items()}
     list_cut = max(float(v.max()) for v in cuts.values()) + skin
+    knames = [k for k in cuts if k not in cell_tiers]
+    cand_size = (max(float(cuts[k].max()) for k in knames) + skin
+                 if knames else list_cut)
+    cell_size = (max(float(cuts[k].max()) for k in cell_tiers) + skin
+                 if cell_tiers else list_cut)
     h = box.h_np()
     vol = abs(np.linalg.det(h))
     rho = natoms / vol
@@ -128,7 +171,8 @@ def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
 
     expanded = vol * np.prod([1 + 2 * m for m in margins])
     ghost_count = int(rho * (expanded - vol)) + 64
-    occupancy = int(rho * list_cut ** 3 * 1.2) + 8
+    occupancy = int(rho * cell_size ** 3 * 1.2) + 8
+    cand_occ = int(rho * cand_size ** 3 * 1.2) + 4
     # per-center-type neighbor count: sum over neighbor types of the
     # composition-weighted cutoff ball (a max-cutoff ball overestimates
     # mixed-cutoff lists by ~2x, which doubles the K^2 angular memory)
@@ -151,7 +195,44 @@ def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
             k_counts[name] = int(rho * 4.0 / 3.0 * np.pi
                                  * (float(np.max(c)) + skin) ** 3 * 1.1) + 8
     return make_plan(box, requests, skin, ghost_count, occupancy, k_counts,
-                     slack=slack, cell_tiers=cell_tiers)
+                     slack=slack, cell_tiers=cell_tiers,
+                     cand_occupancy=cand_occ)
+
+
+def _bin_dense(x_all, valid_row, mn, size, dims, capacity, m_all):
+    """Sorted dense cell table [ncells+2, C] (junk row + oob row).
+
+    Returns (dense, c3, occupancy_count, overflow)."""
+    ncells = dims[0] * dims[1] * dims[2]
+    c3 = jnp.clip(jnp.floor((x_all - mn) / size).astype(jnp.int32),
+                  0, jnp.asarray(np.array(dims, np.int32) - 1))
+    cid = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
+    cid = jnp.where(valid_row, cid, ncells)      # invalid ghosts -> junk
+    order = jnp.argsort(cid)
+    cid_sorted = cid[order]
+    starts = jnp.searchsorted(cid_sorted, jnp.arange(ncells + 1))
+    slot = jnp.arange(m_all) - starts[cid_sorted]
+    occ = jnp.max(jnp.where(cid_sorted < ncells, slot, 0)) + 1
+    overflow = occ > capacity
+    slot = jnp.minimum(slot, capacity - 1)
+    dense = jnp.full((ncells + 2, capacity), m_all, jnp.int32)
+    dense = dense.at[cid_sorted, slot].set(order.astype(jnp.int32),
+                                           mode="drop")
+    return dense, c3, occ, overflow
+
+
+def _nbr_cell_ids(dims, offs):
+    """[ncells, len(offs)] neighbor-cell ids (numpy; static geometry).
+    Out-of-range neighbors map to the oob row (ncells + 1)."""
+    ncells = dims[0] * dims[1] * dims[2]
+    ids = np.arange(ncells)
+    c3s = np.stack([ids // (dims[1] * dims[2]),
+                    (ids // dims[2]) % dims[1],
+                    ids % dims[2]], axis=1)
+    nb = c3s[:, None, :] + offs[None, :, :]
+    ok = np.all((nb >= 0) & (nb < np.array(dims)), axis=-1)
+    nbid = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
+    return np.where(ok, nbid, ncells + 1).astype(np.int32)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -172,7 +253,6 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     image = image + shift.astype(jnp.int32)
 
     # -- ghost-image compaction --------------------------------------------
-    S = len(plan.shifts)
     shifts = jnp.asarray(np.array(plan.shifts), dtype)          # [S,3]
     margins = jnp.asarray(np.array(plan.margins), dtype)
     fi = fw[None, :, :] + shifts[:, None, :]                    # [S,N,3]
@@ -192,105 +272,89 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     x_all = ghosts.all_positions(xw, h)                         # [n+Mg,3]
     t_all = ghosts.all_types(types)
     m_all = n + Mg
-
-    # -- cell binning into a dense [ncells+1, C] table ----------------------
+    valid_row = jnp.concatenate([jnp.ones(n, bool), ghost_valid])
     mn = jnp.asarray(np.array(plan.grid_mn), dtype)
-    dims = plan.grid_dims
-    ncells = dims[0] * dims[1] * dims[2]
-    c3 = jnp.clip(jnp.floor((x_all - mn) / plan.cell_size).astype(jnp.int32),
-                  0, jnp.asarray(np.array(dims, np.int32) - 1))
-    cid = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
-    # invalid ghosts to the junk cell (index ncells)
-    valid_row = jnp.concatenate(
-        [jnp.ones(n, bool), ghost_valid])
-    cid = jnp.where(valid_row, cid, ncells)
-
-    C = plan.cell_capacity
-    order = jnp.argsort(cid)
-    cid_sorted = cid[order]
-    starts = jnp.searchsorted(cid_sorted, jnp.arange(ncells + 1))
-    slot = jnp.arange(m_all) - starts[cid_sorted]
-    # junk-cell (invalid ghost) rows never feed candidates; ignore them in
-    # the overflow check
-    cell_overflow = jnp.max(jnp.where(cid_sorted < ncells, slot, 0)) >= C
-    slot = jnp.minimum(slot, C - 1)
-    dense = jnp.full((ncells + 2, C), m_all, jnp.int32)   # +junk +oob rows
-    dense = dense.at[cid_sorted, slot].set(order.astype(jnp.int32),
-                                           mode="drop")
-
-    # -- candidates: 27 surrounding cells per owned atom --------------------
-    offs = np.array([(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
-                     for c in (-1, 0, 1)], np.int32)
-    ci = c3[:n]                                                  # [n,3]
-    nbr3 = ci[:, None, :] + jnp.asarray(offs)[None, :, :]        # [n,27,3]
-    in_rng = jnp.all((nbr3 >= 0)
-                     & (nbr3 < jnp.asarray(np.array(dims, np.int32))),
-                     axis=-1)
-    ncid = (nbr3[..., 0] * dims[1] + nbr3[..., 1]) * dims[2] + nbr3[..., 2]
-    ncid = jnp.where(in_rng, ncid, ncells + 1)                   # oob row
-    cand = dense[ncid].reshape(n, 27 * C)                        # [n, 27C]
-
-    # distances to candidates (sentinel m_all -> far row); computed per
-    # Cartesian component so every big intermediate is [n, 27C] with the
-    # large dim minor — a [n, 27C, 3] tensor would tile its last dim to
-    # 128 lanes (42x padding) and OOM at 100k atoms
     x_pad = jnp.concatenate([x_all, jnp.full((1, 3), 1e7, dtype)], axis=0)
-    rsq = jnp.zeros(cand.shape, dtype)
-    for a in range(3):
-        da = x_pad[:, a][cand] - xw[:, a][:, None]
-        rsq = rsq + da * da
-    valid = (cand < m_all) & (cand != jnp.arange(n)[:, None])
     t_pad = jnp.concatenate([t_all, jnp.zeros(1, t_all.dtype)])
-    tj = t_pad[cand]
-    ti = types[:, None]
 
-    # -- per-tier top-K compaction ------------------------------------------
-    # flags carry both overflow booleans and the measured maxima, so the
-    # engine can tighten over-estimated capacities after the first rebuild
-    lists = {}
     flags = {"ghost_overflow": ghost_overflow,
-             "cell_overflow": cell_overflow,
-             "count:ghost": jnp.sum(flat),
-             "count:cell": jnp.max(jnp.where(cid_sorted < ncells, slot, 0))
-             + 1}
-    for name, K in plan.k_caps:
-        cut = cut_mats[name][ti, tj] + plan.skin
-        m_tier = valid & (rsq < cut * cut)
-        key = jnp.where(m_tier, rsq, BIG)
-        neg_vals, pos = jax.lax.top_k(-key, K)
-        idx = jnp.take_along_axis(cand, pos, axis=1)
-        jtype = jnp.take_along_axis(tj, pos, axis=1)
-        mask = neg_vals > -BIG
-        idx = jnp.where(mask, idx, 0).astype(jnp.int32)
-        jtype = jnp.where(mask, jtype, 0).astype(jnp.int32)
-        lists[name] = NeighborList(idx=idx, mask=mask, jtype=jtype)
-        kmax = jnp.max(jnp.sum(m_tier, axis=1))
-        flags[f"k_overflow:{name}"] = kmax > K
-        flags[f"count:k:{name}"] = kmax
+             "count:ghost": jnp.sum(flat)}
+    lists = {}
 
-    # -- cell decomposition for cell-form tiers ------------------------------
-    # Half-offset map: column 0 = the cell itself, columns 1..13 the
-    # lexicographically-positive neighbor offsets.  Each unordered cell
-    # pair appears exactly once, so a cell-form tier evaluates every
-    # candidate pair once (ownership-weighted) instead of twice — half
-    # the pair work of the naive 27-offset owned-center scheme.
+    # -- [N, K] tiers: fine-grid candidates, all data moved by ROW gathers --
+    if plan.k_caps:
+        Cf = plan.cand_capacity
+        dense_f, c3f, occf, ovf = _bin_dense(
+            x_all, valid_row, mn, plan.cand_size, plan.cand_dims, Cf, m_all)
+        flags["candcell_overflow"] = ovf
+        flags["count:candcell"] = occf
+        fdims = plan.cand_dims
+        ncf = fdims[0] * fdims[1] * fdims[2]
+        # per-fine-cell data tables (row gathers, ~ncf*Cf indices)
+        xf = x_pad[dense_f]                          # [ncf+2, Cf, 3]
+        tf = t_pad[dense_f]                          # [ncf+2, Cf]
+
+        # per-owned-atom 27-cell neighborhood (fine)
+        offs27 = np.array([(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
+                           for c in (-1, 0, 1)], np.int32)
+        ci = c3f[:n]
+        nbr3 = ci[:, None, :] + jnp.asarray(offs27)[None, :, :]
+        in_rng = jnp.all(
+            (nbr3 >= 0) & (nbr3 < jnp.asarray(np.array(fdims, np.int32))),
+            axis=-1)
+        ncid = (nbr3[..., 0] * fdims[1] + nbr3[..., 1]) * fdims[2] \
+            + nbr3[..., 2]
+        ncid = jnp.where(in_rng, ncid, ncf + 1)      # oob row
+        W = 27 * Cf
+        cand = dense_f[ncid].reshape(n, W)           # row gather: n*27 idx
+        cand_t = tf[ncid].reshape(n, W)
+        cand_x = xf[ncid].reshape(n, W, 3)
+
+        rsq = jnp.zeros((n, W), dtype)
+        for a in range(3):
+            da = cand_x[..., a] - xw[:, a][:, None]
+            rsq = rsq + da * da
+        valid = (cand < m_all) & (cand != jnp.arange(n)[:, None])
+        ti = types[:, None]
+
+        for name, K in plan.k_caps:
+            cut = cut_mats[name][ti, cand_t] + plan.skin
+            m_tier = valid & (rsq < cut * cut)
+            key = jnp.where(m_tier, rsq, BIG)
+            neg_vals, pos = jax.lax.top_k(-key, K)
+            idx = jnp.take_along_axis(cand, pos, axis=1)
+            jtype = jnp.take_along_axis(cand_t, pos, axis=1)
+            mask = neg_vals > -BIG
+            idx = jnp.where(mask, idx, 0).astype(jnp.int32)
+            jtype = jnp.where(mask, jtype, 0).astype(jnp.int32)
+            lists[name] = NeighborList(idx=idx, mask=mask, jtype=jtype)
+            kmax = jnp.max(jnp.sum(m_tier, axis=1))
+            flags[f"k_overflow:{name}"] = kmax > K
+            flags[f"count:k:{name}"] = kmax
+
+    # -- cell-form tiers: coarse dense table + half-offset neighbor map -----
+    # (column 0 = the cell itself, then the 13 lexicographically-positive
+    # offsets; each unordered cell pair appears exactly once)
     cells = None
     if plan.cell_tiers:
         from .build import CellData
-        # neighbor-cell map is pure static geometry
-        offs14 = np.array([(0, 0, 0)] + [tuple(o) for o in offs
-                                         if tuple(o) > (0, 0, 0)], np.int32)
-        ids = np.arange(ncells)
-        c3s = np.stack([ids // (dims[1] * dims[2]),
-                        (ids // dims[2]) % dims[1],
-                        ids % dims[2]], axis=1)
-        nb = c3s[:, None, :] + offs14[None, :, :]
-        ok = np.all((nb >= 0) & (nb < np.array(dims)), axis=-1)
-        nbid = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
-        nbid = np.where(ok, nbid, ncells + 1).astype(np.int32)
-        cell_jt = jnp.where(dense < m_all, t_pad[dense], 0).astype(jnp.int32)
-        cells = CellData(table=dense, jtype=cell_jt,
+        C = plan.cell_capacity
+        dense_c, _, occc, ovc = _bin_dense(
+            x_all, valid_row, mn, plan.cell_size, plan.cell_dims, C, m_all)
+        flags["cell_overflow"] = ovc
+        flags["count:cell"] = occc
+        offs14 = np.array(
+            [(0, 0, 0)] + [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
+                           for c in (-1, 0, 1) if (a, b, c) > (0, 0, 0)],
+            np.int32)
+        nbid = _nbr_cell_ids(plan.cell_dims, offs14)
+        cell_jt = jnp.where(dense_c < m_all, t_pad[dense_c],
+                            0).astype(jnp.int32)
+        cells = CellData(table=dense_c, jtype=cell_jt,
                          nbr_map=jnp.asarray(nbid), n_owned=n)
+    else:
+        flags["cell_overflow"] = jnp.zeros((), bool)
+        flags["count:cell"] = jnp.zeros((), jnp.int32)
 
     nbr = NeighborData(ghosts=ghosts, lists=lists, x_build=xw,
                        skin=plan.skin, cells=cells)

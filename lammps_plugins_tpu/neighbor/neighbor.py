@@ -101,7 +101,8 @@ class NeighborList:
 
 
 def edge_components(x: jnp.ndarray, ghosts: Ghosts, nlist: NeighborList,
-                    h: jnp.ndarray, strain: jnp.ndarray | None = None):
+                    h: jnp.ndarray, strain: jnp.ndarray | None = None,
+                    row_gather: bool = False):
     """Per-edge displacement components (dx, dy, dz) as three [N, K] arrays.
 
     TPU layout note: a [N, K, 3] displacement tensor gets its minor dim
@@ -110,15 +111,27 @@ def edge_components(x: jnp.ndarray, ghosts: Ghosts, nlist: NeighborList,
     208 GB).  Keeping each Cartesian component as its own [N, K] array
     makes K the minor dim, which tiles natively.
 
+    row_gather=True fetches all three components with ONE row gather
+    x_all[idx] ([N,K,3]) and immediately unstacks: TPU gather cost is
+    ~15 ns per INDEX (row width nearly free), so one 3-wide row gather is
+    ~4x cheaper than three element gathers (measured 34 ms vs 136 ms for
+    [98k,32] from 196k rows).  The [N,K,3] tensor exists only as the
+    gather result in HBM, never as a 128-lane-padded VMEM operand.  Use
+    for small-K tiers where the index cost dominates.
+
     Strain enters as d'_a = d_a + sum_b d_b * strain[b, a] (the virial
     trick; see edge_vectors).
     """
     x_all = ghosts.all_positions(x, h)
     idx = nlist.idx
-    comps = []
-    for a in range(3):
-        col = x_all[:, a]
-        comps.append(col[idx] - x[:, a][:, None])
+    if row_gather:
+        rows = x_all[idx]                                # [N, K, 3]
+        comps = [rows[..., a] - x[:, a][:, None] for a in range(3)]
+    else:
+        comps = []
+        for a in range(3):
+            col = x_all[:, a]
+            comps.append(col[idx] - x[:, a][:, None])
     if strain is not None:
         d0, d1, d2 = comps
         comps = [comps[a] + d0 * strain[0, a] + d1 * strain[1, a]

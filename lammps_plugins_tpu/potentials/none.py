@@ -22,5 +22,9 @@ class PairNone(PairStyle):
         return {"main": self.cutoff}
 
     def energy(self, x, strain, types, nbr, h, center_mask=None):
-        # depends on x/strain so grad shapes are well-defined
-        return 0.0 * jnp.sum(x) + 0.0 * jnp.sum(strain)
+        # depends on x/strain so grad shapes are well-defined (strain is
+        # None on the forces-only hot path)
+        e = 0.0 * jnp.sum(x)
+        if strain is not None:
+            e = e + 0.0 * jnp.sum(strain)
+        return e

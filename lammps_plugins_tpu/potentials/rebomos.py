@@ -274,7 +274,7 @@ class REBOMoS(PairStyle):
         return e
 
     def _rebo_energy(self, x, strain, el_own, el_all, ghosts, rebo, h):
-        dx, dy, dz, rsq, mask = edge_components(x, ghosts, rebo, h, strain)
+        dx, dy, dz, rsq, mask = edge_components(x, ghosts, rebo, h, strain, row_gather=True)
         r = jnp.sqrt(rsq)
         ei = el_own[:, None]                    # [N,1]
         ej = self._jel(rebo, el_all)
@@ -349,7 +349,7 @@ class REBOMoS(PairStyle):
                 0.5 * per_edge.reshape(-1))
 
         # REBO edges: recompute the per-edge energy pieces
-        dx, dy, dz, rsq, mask = edge_components(x, ghosts, rebo, h, z)
+        dx, dy, dz, rsq, mask = edge_components(x, ghosts, rebo, h, z, row_gather=True)
         r = jnp.sqrt(rsq)
         ei = el_own[:, None]
         ej = self._jel(rebo, el_all)

@@ -120,14 +120,19 @@ class Engine:
         h = self.state.box.h_np()
         x_all = np.concatenate([x_np, x_np[owner] + shift @ h])
         mn = np.array(plan0.grid_mn)
-        dims = np.array(plan0.grid_dims)
-        c3 = np.clip(((x_all - mn) / plan0.cell_size).astype(np.int64),
-                     0, dims - 1)
-        cid = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
-        occ = int(np.bincount(cid).max())
+
+        def occupancy(dims, size):
+            dims = np.array(dims)
+            c3 = np.clip(((x_all - mn) / size).astype(np.int64), 0, dims - 1)
+            cid = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
+            return int(np.bincount(cid).max())
+
+        occ = occupancy(plan0.cell_dims, plan0.cell_size)
+        occ_f = occupancy(plan0.cand_dims, plan0.cand_size)
         self._plan = device_build.make_plan(
             self.state.box, requests, self.skin, ghost_count, occ, k_counts,
-            slack=slack, cell_tiers=getattr(self.pair, "cell_tiers", ()))
+            slack=slack, cell_tiers=getattr(self.pair, "cell_tiers", ()),
+            cand_occupancy=occ_f)
         dtype = self.state.x.dtype
         self._cut_mats_dev = {k: jnp.asarray(v, dtype)
                               for k, v in requests.items()}
@@ -195,11 +200,14 @@ class Engine:
         requests = self.pair.neighbor_requests()
         k_counts = {k.split(":", 2)[2]: int(v)
                     for k, v in flags_np.items() if k.startswith("count:k:")}
+        cand_occ = (int(flags_np["count:candcell"])
+                    if "count:candcell" in flags_np else None)
         self._plan = device_build.make_plan(
             self.state.box, requests, self.skin,
             int(flags_np["count:ghost"]), int(flags_np["count:cell"]),
             k_counts, slack=grow,
-            cell_tiers=getattr(self.pair, "cell_tiers", ()))
+            cell_tiers=getattr(self.pair, "cell_tiers", ()),
+            cand_occupancy=cand_occ)
         self._seg_jit = None       # shapes change -> retrace
 
     # -- jitted computations ----------------------------------------------

@@ -1,5 +1,7 @@
 """On-device jitted neighbor rebuild vs exact host build."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -57,13 +59,10 @@ def test_overflow_recovery(rebo_file):
     eng = Engine(state, pair, [FixNVE()], units.METAL, device_rebuild=True)
     eng._make_plan(slack=1.3)
     good = eng._plan
-    # sabotage: halve every capacity
-    eng._plan = device_build.RebuildPlan(
-        shifts=good.shifts, margins=good.margins, grid_mn=good.grid_mn,
-        grid_dims=good.grid_dims, cell_size=good.cell_size,
-        ghost_capacity=8, cell_capacity=8,
-        k_caps=tuple((k, 8) for k, _ in good.k_caps),
-        list_cut=good.list_cut, skin=good.skin)
+    # sabotage: shrink every capacity
+    eng._plan = dataclasses.replace(
+        good, ghost_capacity=8, cell_capacity=8, cand_capacity=2,
+        k_caps=tuple((k, 8) for k, _ in good.k_caps))
     eng.rebuild_neighbors()          # must recover via host re-sizing
     pe, _ = eng.evaluate()
     assert abs(float(pe) - -2061.6112) < 1e-3

@@ -78,13 +78,15 @@ class RebuildPlan:
     cell_tiers: Tuple[str, ...]
     list_cut: float                            # ghost halo width (inc. skin)
     skin: float
+    mirror_tiers: Tuple[str, ...] = ()         # tiers with mirror tables
 
 
 def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
               ghost_count: int, max_cell_occupancy: int,
               k_counts: Dict[str, int], slack: float = 1.3,
               cell_tiers: Tuple[str, ...] = (),
-              cand_occupancy: int | None = None) -> RebuildPlan:
+              cand_occupancy: int | None = None,
+              mirror_tiers: Tuple[str, ...] = ()) -> RebuildPlan:
     """Derive static geometry + padded capacities from measured counts.
 
     max_cell_occupancy is the coarse-grid occupancy; cand_occupancy the
@@ -142,12 +144,14 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         cell_dims=cell_dims, cell_size=cell_size,
         cell_capacity=pad8(max(max_cell_occupancy, 4)),
         cell_tiers=tuple(sorted(cell_tiers)),
-        list_cut=list_cut, skin=skin)
+        list_cut=list_cut, skin=skin,
+        mirror_tiers=tuple(sorted(mirror_tiers)))
 
 
 def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
                            skin: float, natoms: int, slack: float = 1.6,
-                           cell_tiers: Tuple[str, ...] = ()) -> RebuildPlan:
+                           cell_tiers: Tuple[str, ...] = (),
+                           mirror_tiers: Tuple[str, ...] = ()) -> RebuildPlan:
     """Capacity estimation from mean density — no host neighbor build.
 
     Sizes every capacity from rho = N/V assuming near-uniform density (true
@@ -196,7 +200,7 @@ def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
                                  * (float(np.max(c)) + skin) ** 3 * 1.1) + 8
     return make_plan(box, requests, skin, ghost_count, occupancy, k_counts,
                      slack=slack, cell_tiers=cell_tiers,
-                     cand_occupancy=cand_occ)
+                     cand_occupancy=cand_occ, mirror_tiers=mirror_tiers)
 
 
 def _bin_dense(x_all, valid_row, mn, size, dims, capacity, m_all):
@@ -233,6 +237,38 @@ def _nbr_cell_ids(dims, offs):
     ok = np.all((nb >= 0) & (nb < np.array(dims)), axis=-1)
     nbid = (nb[..., 0] * dims[1] + nb[..., 1]) * dims[2] + nb[..., 2]
     return np.where(ok, nbid, ncells + 1).astype(np.int32)
+
+
+def _mirror_table(idx, mask, owner, x_pad, xw, n, K):
+    """[N, K] flat slot (row*K + col) of each edge's mirror edge.
+
+    Edge (i, j) with j possibly a ghost: the mirror is the unique edge
+    (q, j') with q = owner(j) and j' the image of i such that the
+    displacement vectors are exact negatives (newton-pair bijection,
+    the TPU replacement for reverse ghost-force communication).  Found by
+    position matching: scanned one mirror column at a time to bound the
+    [N, K, 3] working set."""
+    nn = idx.shape[0]
+    # displacement of every edge (same arithmetic as the force path)
+    D = x_pad[idx] - xw[:, None, :]                    # [N, K, 3]
+    owner_all = jnp.concatenate(
+        [jnp.arange(n, dtype=owner.dtype), owner])
+    r = owner_all[jnp.where(mask, idx, 0)]             # [N, K] mirror rows
+    rows = jnp.arange(nn, dtype=jnp.int32)
+
+    def one_col(_, k):
+        rk = r[:, k]                                   # [N]
+        Dk = D[:, k, :]                                # [N, 3]
+        Dr = D[rk]                                     # [N, K, 3] row gather
+        diff = Dr + Dk[:, None, :]
+        err = jnp.sum(diff * diff, axis=-1)            # [N, K]
+        col = jnp.argmin(err, axis=1).astype(jnp.int32)
+        good = jnp.take_along_axis(err, col[:, None], axis=1)[:, 0] < 1e-4
+        flat = jnp.where(mask[:, k] & good, rk * K + col, -1)
+        return None, flat.astype(jnp.int32)
+
+    _, cols = jax.lax.scan(one_col, None, jnp.arange(K))
+    return cols.T                                      # [N, K]
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -327,7 +363,10 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
             mask = neg_vals > -BIG
             idx = jnp.where(mask, idx, 0).astype(jnp.int32)
             jtype = jnp.where(mask, jtype, 0).astype(jnp.int32)
-            lists[name] = NeighborList(idx=idx, mask=mask, jtype=jtype)
+            mirror = (_mirror_table(idx, mask, ghosts.owner, x_pad, xw, n, K)
+                      if name in plan.mirror_tiers else None)
+            lists[name] = NeighborList(idx=idx, mask=mask, jtype=jtype,
+                                       mirror=mirror)
             kmax = jnp.max(jnp.sum(m_tier, axis=1))
             flags[f"k_overflow:{name}"] = kmax > K
             flags[f"count:k:{name}"] = kmax

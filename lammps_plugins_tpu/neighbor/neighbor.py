@@ -83,17 +83,28 @@ class NeighborList:
     idx: jnp.ndarray    # [N, K] int32
     mask: jnp.ndarray   # [N, K] bool
     jtype: jnp.ndarray | None = None   # [N, K] int32 neighbor type
+    #: flat [N*K] slot of each edge's MIRROR edge (the unique reverse edge
+    #: (owner(j), image-of-i) — the newton-pair bijection).  Lets force
+    #: accumulation replace the per-edge scatter-add with a row gather.
+    mirror: jnp.ndarray | None = None  # [N, K] int32
 
     def tree_flatten(self):
-        if self.jtype is None:
-            return (self.idx, self.mask), False
-        return (self.idx, self.mask, self.jtype), True
+        children = [self.idx, self.mask]
+        flags = (self.jtype is not None, self.mirror is not None)
+        if flags[0]:
+            children.append(self.jtype)
+        if flags[1]:
+            children.append(self.mirror)
+        return tuple(children), flags
 
     @classmethod
-    def tree_unflatten(cls, has_jtype, children):
-        if has_jtype:
-            return cls(*children)
-        return cls(children[0], children[1], None)
+    def tree_unflatten(cls, flags, children):
+        has_jtype, has_mirror = flags
+        it = iter(children)
+        idx, mask = next(it), next(it)
+        jtype = next(it) if has_jtype else None
+        mirror = next(it) if has_mirror else None
+        return cls(idx, mask, jtype, mirror)
 
     @property
     def capacity(self) -> int:

@@ -273,8 +273,176 @@ class REBOMoS(PairStyle):
                             (cells.nbr_map.T, scale))
         return e
 
+    # -- analytic forces (hot path) -----------------------------------------
+    #: tiers for which the rebuild provides mirror-edge tables
+    mirror_tiers = ("rebo",)
+
+    def forces(self, x, types, nbr: NeighborData, h):
+        """Forces with the LJ tier in closed form over the cell grid and
+        the REBO tier scatter-free via the mirror-edge bijection.
+
+        The REBO force math itself stays an autodiff vjp (its force
+        machinery, pair_rebomos.cpp:634-843, is genuinely the chain rule
+        through the bond order); only the edge-to-atom accumulation is
+        hand-written.  The switched-LJ derivative is two lines of algebra,
+        so writing it out replaces the forward+backward autodiff sweep
+        over the cell blocks with a single force sweep."""
+        if nbr.cells is None:
+            return super().forces(x, types, nbr, h)
+        ghosts = nbr.ghosts
+        rebo = nbr.lists["rebo"]
+        el_own = self.typemap[types]
+        el_all = self.typemap[ghosts.all_types(types)]
+
+        if rebo.mirror is not None:
+            f = self._rebo_forces_mirror(x, el_own, el_all, ghosts, rebo, h)
+        else:
+            f = -jax.grad(lambda x_: self._rebo_energy(
+                x_, None, el_own, el_all, ghosts, rebo, h))(x)
+        return f + self._lj_forces_cells(x, ghosts, nbr.cells, h)
+
+    def _rebo_forces_mirror(self, x, el_own, el_all, ghosts, rebo, h):
+        """REBO forces without any per-edge scatter.
+
+        The energy is a function of the edge displacement set {d_e}; its
+        cotangent G_e = dE/dd_e comes from one vjp over pure [N,K] tensor
+        math.  The chain rule to atoms is
+            F_m = sum_k G[m,k] - sum_k G[mirror(m,k)]
+        because every directed edge has a unique mirror (owner(j),
+        image-of-i) among the owned rows — the rebuild-time `mirror`
+        table turns the reverse accumulation (a 74 ms scatter-add at 98k
+        atoms) into a 34 ms row gather.  This is the TPU answer to
+        newton-on reverse ghost communication (pair_aeam.cpp:257)."""
+        x_all = ghosts.all_positions(x, h)
+        D = x_all[rebo.idx]                           # [N,K,3] row gather
+        dx = D[..., 0] - x[:, 0][:, None]
+        dy = D[..., 1] - x[:, 1][:, None]
+        dz = D[..., 2] - x[:, 2][:, None]
+
+        def e_of_d(dx_, dy_, dz_):
+            rsq = dx_ * dx_ + dy_ * dy_ + dz_ * dz_
+            rsq = jnp.where(rebo.mask, rsq, 1.0)
+            return self._rebo_energy_core(dx_, dy_, dz_, rsq, rebo.mask,
+                                          rebo, el_own, el_all)
+
+        _, vjp = jax.vjp(e_of_d, dx, dy, dz)
+        gx, gy, gz = vjp(jnp.ones((), x.dtype))
+        gflat = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        gmir = gflat[jnp.maximum(rebo.mirror, 0)]     # [N,K,3] row gather
+        gmir = jnp.where((rebo.mask & (rebo.mirror >= 0))[..., None],
+                         gmir, 0.0)
+        fc = jnp.stack([jnp.sum(gx, 1), jnp.sum(gy, 1), jnp.sum(gz, 1)],
+                       axis=-1)
+        return fc - jnp.sum(gmir, axis=1)
+
+    def _fpair_lj(self, ei, ej, r, rsq):
+        """-(dV/dr)/r for the switched LJ (pair_rebomos.cpp:518-543):
+        F_on_a = fpair * (x_a - x_b)."""
+        sig = lookup22(self.sigma, ei, ej)
+        eps = lookup22(self.epsilon, ei, ej)
+        ljmin = lookup22(self.rcLJmin, ei, ej)
+        ljmax = lookup22(self.rcLJmax, ei, ej)
+        r2inv = 1.0 / rsq
+        r6inv = r2inv * r2inv * r2inv
+        # 12-6 regime: lj1 = 48 eps sig^12, lj2 = 24 eps sig^6
+        f_126 = r6inv * (lookup22(self.lj1, ei, ej) * r6inv
+                         - lookup22(self.lj2, ei, ej)) * r2inv
+        # cubic ramp regime: V = dr^2 (c3 dr + c2), dV/dr = dr (3 c3 dr + 2 c2)
+        drw = 0.95 * sig - ljmin
+        r6c = (1.0 / 0.95) ** 6
+        vdw = 4.0 * eps * r6c * (r6c - 1.0)
+        dvdw = (-4.0 * eps / (0.95 * sig)) * r6c * (12.0 * r6c - 6.0)
+        c2 = ((3.0 / drw) * vdw - dvdw) / drw
+        c3 = (vdw / (drw * drw) - c2) / drw
+        drp = r - ljmin
+        f_ramp = -drp * (3.0 * c3 * drp + 2.0 * c2) / r
+        return jnp.where((r > ljmax) | (r < ljmin), 0.0,
+                         jnp.where(r >= 0.95 * sig, f_126, f_ramp))
+
+    def _lj_forces_cells(self, x, ghosts, cells, h):
+        """Closed-form LJ forces over the half-offset cell decomposition.
+
+        Per slot pair with ownership weight w: F_a -= w*fpair*d,
+        F_b += w*fpair*d (d = x_b - x_a, fpair = -(dV/dr)/r) — the exact
+        gradient of the weighted energy in _lj_energy_cells.  The B-side
+        accumulation needs no per-edge scatter: for a fixed offset, the
+        neighbor cells are the nbr_map column — a per-CELL row scatter
+        (~ncells indices).  Cell-table forces then map to atoms with one
+        row scatter + a ghost-to-owner row scatter (the reverse-comm
+        analogue, pair_aeam.cpp:257, as two cheap scatters)."""
+        x_all = ghosts.all_positions(x, h)
+        m_all = x_all.shape[0]
+        n = x.shape[0]
+        xpad = jnp.concatenate(
+            [x_all, jnp.full((1, 3), 1e7, x.dtype)], axis=0)
+        cxs = [xpad[:, a][cells.table] for a in range(3)]
+        cel = jnp.zeros(cells.jtype.shape, jnp.int32)
+        for t_ in range(1, len(self.typemap_np)):
+            cel = jnp.where(cells.jtype == t_, int(self.typemap_np[t_]), cel)
+        valid = cells.table < m_all
+        ownedf = jnp.where(cells.table < cells.n_owned,
+                           jnp.asarray(1.0, x.dtype), 0.0)
+        ncells = cells.nbr_map.shape[0]
+        ncellsP = cells.table.shape[0]
+        C = cells.table.shape[1]
+        noffs = cells.nbr_map.shape[1]
+        scale = jnp.full((noffs,), 0.5, x.dtype).at[0].set(0.25)
+
+        aval = valid[:ncells]
+        aid = cells.table[:ncells]
+        ael = cel[:ncells]
+        aown = ownedf[:ncells]
+        axs = [c[:ncells] for c in cxs]
+
+        def one_offset(carry, xs):
+            fa0, fa1, fa2, fb = carry
+            nb_col, s = xs
+            bxs = [c[nb_col] for c in cxs]
+            bel = cel[nb_col]
+            bval = valid[nb_col]
+            bid = cells.table[nb_col]
+            bown = ownedf[nb_col]
+
+            d = [bxs[a][:, None, :] - axs[a][:, :, None] for a in range(3)]
+            rsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            w = (aown[:, :, None] + bown[:, None, :]) * s
+            pmask = (aval[:, :, None] & bval[:, None, :]
+                     & (aid[:, :, None] != bid[:, None, :]))
+            rsq = jnp.where(pmask, rsq, 1.0)
+            r = jnp.sqrt(rsq)
+            fp = self._fpair_lj(ael[:, :, None], bel[:, None, :], r, rsq)
+            fp = jnp.where(pmask, w * fp, 0.0)
+            # F_a -= fp * d  (d points a -> b; fp > 0 is repulsive)
+            fd = [fp * d[a] for a in range(3)]
+            fa0 = fa0 - jnp.sum(fd[0], axis=2)
+            fa1 = fa1 - jnp.sum(fd[1], axis=2)
+            fa2 = fa2 - jnp.sum(fd[2], axis=2)
+            # F_b += fp * d : neighbor cells of one offset are distinct
+            # rows -> a ~ncells-row scatter, not a per-edge one
+            fbcol = jnp.stack([jnp.sum(fd[a], axis=1) for a in range(3)],
+                              axis=-1)                      # [ncells, C, 3]
+            fb = fb.at[nb_col].add(fbcol, mode="drop")
+            return (fa0, fa1, fa2, fb), None
+
+        z2 = jnp.zeros((ncells, C), x.dtype)
+        fb0 = jnp.zeros((ncellsP, C, 3), x.dtype)
+        (fa0, fa1, fa2, fb), _ = jax.lax.scan(
+            one_offset, (z2, z2, z2, fb0), (cells.nbr_map.T, scale))
+        ftab = fb.at[:ncells].add(jnp.stack([fa0, fa1, fa2], axis=-1))
+
+        # cell table -> atoms (row scatter), then ghosts -> owners
+        f_all = jnp.zeros((m_all + 1, 3), x.dtype).at[
+            cells.table.reshape(-1)].add(ftab.reshape(-1, 3), mode="drop")
+        f_own = f_all[:n]
+        return f_own.at[ghosts.owner].add(f_all[n:m_all], mode="drop")
+
     def _rebo_energy(self, x, strain, el_own, el_all, ghosts, rebo, h):
-        dx, dy, dz, rsq, mask = edge_components(x, ghosts, rebo, h, strain, row_gather=True)
+        dx, dy, dz, rsq, mask = edge_components(x, ghosts, rebo, h, strain,
+                                                row_gather=True)
+        return self._rebo_energy_core(dx, dy, dz, rsq, mask, rebo,
+                                      el_own, el_all)
+
+    def _rebo_energy_core(self, dx, dy, dz, rsq, mask, rebo, el_own, el_all):
         r = jnp.sqrt(rsq)
         ei = el_own[:, None]                    # [N,1]
         ej = self._jel(rebo, el_all)

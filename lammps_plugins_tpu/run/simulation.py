@@ -132,6 +132,7 @@ class Engine:
         self._plan = device_build.make_plan(
             self.state.box, requests, self.skin, ghost_count, occ, k_counts,
             slack=slack, cell_tiers=getattr(self.pair, "cell_tiers", ()),
+            mirror_tiers=getattr(self.pair, "mirror_tiers", ()),
             cand_occupancy=occ_f)
         dtype = self.state.x.dtype
         self._cut_mats_dev = {k: jnp.asarray(v, dtype)
@@ -147,7 +148,8 @@ class Engine:
         requests = self.pair.neighbor_requests()
         self._plan = device_build.make_plan_from_density(
             self.state.box, requests, self.skin, self.state.natoms,
-            slack=slack, cell_tiers=getattr(self.pair, "cell_tiers", ()))
+            slack=slack, cell_tiers=getattr(self.pair, "cell_tiers", ()),
+            mirror_tiers=getattr(self.pair, "mirror_tiers", ()))
         dtype = self.state.x.dtype
         h = self.state.box.h_np()
         self._cut_mats_dev = {k: jnp.asarray(v, dtype)
@@ -207,6 +209,7 @@ class Engine:
             int(flags_np["count:ghost"]), int(flags_np["count:cell"]),
             k_counts, slack=grow,
             cell_tiers=getattr(self.pair, "cell_tiers", ()),
+            mirror_tiers=getattr(self.pair, "mirror_tiers", ()),
             cand_occupancy=cand_occ)
         self._seg_jit = None       # shapes change -> retrace
 

@@ -66,3 +66,21 @@ def test_overflow_recovery(rebo_file):
     eng.rebuild_neighbors()          # must recover via host re-sizing
     pe, _ = eng.evaluate()
     assert abs(float(pe) - -2061.6112) < 1e-3
+
+
+def test_analytic_lj_forces_match_autodiff(rebo_file):
+    """REBOMoS.forces computes the LJ tier in closed form over the cell
+    grid; it must equal the autodiff gradient of the same weighted
+    energy to rounding."""
+    from lammps_plugins_tpu.potentials.base import PairStyle
+
+    state = rebomos_bulk()
+    pair = REBOMoS.from_file(rebo_file, ["M", "S"])
+    eng = Engine(state, pair, [FixNVE()], units.METAL, device_rebuild=True)
+    eng.evaluate()
+    st, nbr = eng.state, eng.nbr
+    f_analytic = pair.forces(st.x, st.type, nbr, st.box.h)
+    f_autodiff = PairStyle.forces(pair, st.x, st.type, nbr, st.box.h)
+    np.testing.assert_allclose(np.asarray(f_analytic),
+                               np.asarray(f_autodiff),
+                               rtol=1e-9, atol=1e-10)

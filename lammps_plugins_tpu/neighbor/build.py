@@ -45,13 +45,25 @@ class CellData:
     nbr_map: jnp.ndarray   # [ncells, 14] half-offset neighbor cell ids
                            # (col 0 = the cell itself; static geometry)
     n_owned: int           # aux: atoms with id < n_owned are owned centers
+    # static geometry for the Pallas cell-pair kernel (None when the cells
+    # came from a pre-halo build): grid dims INCLUDING the one-cell empty
+    # halo ring, the (start, stop) cell box covering owned atoms, and the
+    # grid origin/edge used for in-kernel coordinate re-centering
+    dims: "tuple | None" = None
+    a_range: "tuple | None" = None
+    cell_mn: "tuple | None" = None
+    cell_size: "float | None" = None
 
     def tree_flatten(self):
-        return (self.table, self.jtype, self.nbr_map), self.n_owned
+        return ((self.table, self.jtype, self.nbr_map),
+                (self.n_owned, self.dims, self.a_range, self.cell_mn,
+                 self.cell_size))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, n_owned=aux)
+        n_owned, dims, a_range, cell_mn, cell_size = aux
+        return cls(*children, n_owned=n_owned, dims=dims, a_range=a_range,
+                   cell_mn=cell_mn, cell_size=cell_size)
 
 
 @jax.tree_util.register_pytree_node_class

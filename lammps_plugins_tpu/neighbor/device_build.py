@@ -71,7 +71,10 @@ class RebuildPlan:
     cand_size: float
     cand_capacity: int                         # Cf: fine-cell slots
     k_caps: Tuple[Tuple[str, int], ...]        # per-tier K ([N,K] tiers)
-    # coarse / cell grid (feeds cell-form tiers)
+    # coarse / cell grid (feeds cell-form tiers).  The grid carries a
+    # one-cell halo ring of always-empty cells (cell_mn = grid_mn shifted by
+    # -cell_size, dims grown by 2) so the Pallas cell-pair kernel can index
+    # every neighbor cell affinely with no boundary logic.
     cell_dims: Tuple[int, int, int]
     cell_size: float
     cell_capacity: int                         # C: coarse-cell slots
@@ -79,6 +82,11 @@ class RebuildPlan:
     list_cut: float                            # ghost halo width (inc. skin)
     skin: float
     mirror_tiers: Tuple[str, ...] = ()         # tiers with mirror tables
+    cell_mn: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # static (start, stop) cell-index box covering every cell that can hold
+    # an OWNED atom (cells intersecting the primary prism's AABB + eps);
+    # the kernel runs A-centers over exactly this range
+    a_range: Tuple[Tuple[int, int], ...] = ((0, 0), (0, 0), (0, 0))
 
 
 def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
@@ -124,8 +132,29 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
     mx = corners.max(axis=0) + 1e-6
     cand_dims = tuple(int(np.ceil((mx[d] - mn[d]) / cand_size))
                       for d in range(3))
-    cell_dims = tuple(int(np.ceil((mx[d] - mn[d]) / cell_size))
+    # coarse grid: one-cell halo ring (empty by construction — real atoms
+    # live within the margins, strictly inside)
+    cell_mn = tuple(float(mn[d] - cell_size) for d in range(3))
+    cell_dims = tuple(int(np.ceil((mx[d] - mn[d]) / cell_size)) + 2
                       for d in range(3))
+    # A-range: cells intersecting the primary prism's AABB (owned atoms are
+    # wrapped into the prism; eps covers f32 wrap rounding at the faces)
+    pcorners = np.array([lo + np.array([a, b, c]) @ h
+                         for a in (0.0, 1.0) for b in (0.0, 1.0)
+                         for c in (0.0, 1.0)])
+    eps = 1e-4 * cell_size + 1e-3
+    pmn = pcorners.min(axis=0) - eps
+    pmx = pcorners.max(axis=0) + eps
+    a_range = []
+    for d in range(3):
+        a0 = int(np.floor((pmn[d] - cell_mn[d]) / cell_size))
+        a1 = int(np.floor((pmx[d] - cell_mn[d]) / cell_size)) + 1
+        if not (1 <= a0 and a1 <= cell_dims[d] - 1):
+            raise AssertionError(
+                f"A-range dim {d}: [{a0},{a1}) outside halo-safe "
+                f"[1,{cell_dims[d] - 1})")
+        a_range.append((a0, a1))
+    a_range = tuple(a_range)
 
     def pad8(v):
         return max(8, int(-(-int(v * slack) // 8) * 8))
@@ -145,7 +174,8 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         cell_capacity=pad8(max(max_cell_occupancy, 4)),
         cell_tiers=tuple(sorted(cell_tiers)),
         list_cut=list_cut, skin=skin,
-        mirror_tiers=tuple(sorted(mirror_tiers)))
+        mirror_tiers=tuple(sorted(mirror_tiers)),
+        cell_mn=cell_mn, a_range=a_range)
 
 
 def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
@@ -378,8 +408,9 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     if plan.cell_tiers:
         from .build import CellData
         C = plan.cell_capacity
+        cmn = jnp.asarray(np.array(plan.cell_mn), dtype)
         dense_c, _, occc, ovc = _bin_dense(
-            x_all, valid_row, mn, plan.cell_size, plan.cell_dims, C, m_all)
+            x_all, valid_row, cmn, plan.cell_size, plan.cell_dims, C, m_all)
         flags["cell_overflow"] = ovc
         flags["count:cell"] = occc
         offs14 = np.array(
@@ -390,7 +421,9 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
         cell_jt = jnp.where(dense_c < m_all, t_pad[dense_c],
                             0).astype(jnp.int32)
         cells = CellData(table=dense_c, jtype=cell_jt,
-                         nbr_map=jnp.asarray(nbid), n_owned=n)
+                         nbr_map=jnp.asarray(nbid), n_owned=n,
+                         dims=plan.cell_dims, a_range=plan.a_range,
+                         cell_mn=plan.cell_mn, cell_size=plan.cell_size)
     else:
         flags["cell_overflow"] = jnp.zeros((), bool)
         flags["count:cell"] = jnp.zeros((), jnp.int32)

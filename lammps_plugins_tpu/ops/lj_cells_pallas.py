@@ -1,0 +1,262 @@
+"""Pallas TPU kernel: switched-LJ forces over the dense cell decomposition.
+
+This is the hot-path replacement for the XLA cell-form LJ sweep in
+potentials/rebomos.py (`_lj_forces_cells`).  Same physics — the three-regime
+switched Lennard-Jones of the reference (pair_rebomos.cpp:518-543) — but
+restructured for the TPU memory system:
+
+  * One fused kernel: no [ncells, C, C] intermediates ever reach HBM (the
+    XLA sweep spilled ~30 such tensors per offset, ~95 ms/step at 98k atoms).
+  * Full 27-offset, A-side-only enumeration: every ordered pair (a, b) is
+    evaluated once from a's side, so each OWNED atom's force is complete from
+    its own cell row and the two scatter-adds of the half-offset form
+    (B-side cell scatter + ghost-to-owner reverse scatter) vanish.  Pairs are
+    evaluated twice in total (once per side) — cheaper than scattering.
+  * Pair distances ride the MXU: rsq[b, a] is one K=8 matmul of augmented
+    coordinate rows [x, y, z, |x|^2, 1] against [-2x', -2y', -2z', 1, |x'|^2],
+    with coordinates re-centered on the A cell so the f32 (bf16-multipass)
+    matmul keeps ~1e-7 relative accuracy.  Force assembly is the second
+    matmul: F_a = x_a * sum_b fp - sum_b fp * x_b.
+  * Per-pair-type constants (sigma/epsilon-derived) enter as bilinear
+    functions of the element codes (exact for codes in {0, 1}) — one FMA per
+    constant per pair instead of gather or select chains.
+
+Grid: one program per (A cell column x, y, (dx, dy) in 3x3); each program
+walks the z pencil and its dz in {-1, 0, 1} neighbors — cells are sized so
+the interaction cutoff never spans more than one cell.  The cell grid is
+built with a one-cell halo ring of empty cells (neighbor/device_build.py),
+making neighbor-block indexing purely affine: no boundary logic in-kernel.
+
+Self-pairs and padding need no masks: padded slots are parked at 1e7 (rsq
+~1e14 -> outside the LJ window -> exact 0), and a self-pair has rsq = 0
+inside rcLJmin where the reference potential is identically zero.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def derive_lj_constants(tables) -> dict:
+    """Per-element-pair scalars for the switched LJ, as bilinear coeffs.
+
+    For constant P with corner values P[ea][eb] (element codes 0/1), the
+    kernel evaluates P = pa(ea) + pbc(ea) * eb with
+        pa(ea)  = P00 + ea * (P10 - P00)
+        pbc(ea) = (P01 - P00) + ea * (P11 - P10 - P01 + P00)
+    exact at all four corners.  Returns name -> (a0, a1, b0, b1) floats.
+
+    Constants (reference formulas, pair_rebomos.cpp:262-265, 532-543):
+      lj1 = 48 eps sig^12, lj2 = 24 eps sig^6 (force prefactors)
+      lj3 = 4 eps sig^12,  lj4 = 4 eps sig^6  (energy prefactors)
+      ljminsq/ljmaxsq/s95sq: squared regime boundaries
+      ljmin: rcLJmin (for the ramp's dr)
+      k2 = -2 c2, k3 = -3 c3 (ramp force), c2, c3 (ramp energy)
+    """
+    t = tables
+    vals = {}
+    for name in ("lj1", "lj2", "lj3", "lj4", "ljminsq", "ljmaxsq",
+                 "s95sq", "ljmin", "k2", "k3", "c2", "c3"):
+        vals[name] = np.zeros((2, 2))
+    for ea in range(2):
+        for eb in range(2):
+            sig = float(t.sigma[ea, eb])
+            eps = float(t.epsilon[ea, eb])
+            ljmin = float(t.rcLJmin[ea, eb])
+            ljmax = float(t.rcLJmax[ea, eb])
+            drw = 0.95 * sig - ljmin
+            r6c = (1.0 / 0.95) ** 6
+            vdw = 4.0 * eps * r6c * (r6c - 1.0)
+            dvdw = (-4.0 * eps / (0.95 * sig)) * r6c * (12.0 * r6c - 6.0)
+            c2 = ((3.0 / drw) * vdw - dvdw) / drw
+            c3 = (vdw / (drw * drw) - c2) / drw
+            vals["lj1"][ea, eb] = float(t.lj1[ea, eb])
+            vals["lj2"][ea, eb] = float(t.lj2[ea, eb])
+            vals["lj3"][ea, eb] = float(t.lj3[ea, eb])
+            vals["lj4"][ea, eb] = float(t.lj4[ea, eb])
+            vals["ljminsq"][ea, eb] = ljmin * ljmin
+            vals["ljmaxsq"][ea, eb] = ljmax * ljmax
+            vals["s95sq"][ea, eb] = (0.95 * sig) ** 2
+            vals["ljmin"][ea, eb] = ljmin
+            vals["k2"][ea, eb] = -2.0 * c2
+            vals["k3"][ea, eb] = -3.0 * c3
+            vals["c2"][ea, eb] = c2
+            vals["c3"][ea, eb] = c3
+    out = {}
+    for name, P in vals.items():
+        out[name] = (float(P[0, 0]), float(P[1, 0] - P[0, 0]),
+                     float(P[0, 1] - P[0, 0]),
+                     float(P[1, 1] - P[1, 0] - P[0, 1] + P[0, 0]))
+    return out
+
+
+def _bilinear_row(coef, ael):
+    """(pa, pbc) rows [1, C] from the A-element row (bilinear setup)."""
+    a0, a1, b0, b1 = coef
+    return a0 + ael * a1, b0 + ael * b1
+
+
+def _make_kernel(consts: dict, a_range, cell_mn, cell_size, Dz: int,
+                 with_energy: bool):
+    (x0, _), (y0, _), (z0, z1) = a_range
+    Az = z1 - z0
+    mnx, mny, mnz = cell_mn
+    dn = (((0,), (0,)), ((), ()))
+    hi = jax.lax.Precision.HIGHEST
+
+    def kernel(a_ref, b_ref, f_ref):
+        q = pl.program_id(2)
+
+        @pl.when(q == 0)
+        def _():
+            f_ref[...] = jnp.zeros_like(f_ref)
+
+        dtype = a_ref.dtype
+        fi = (pl.program_id(0) + x0).astype(dtype)
+        fj = (pl.program_id(1) + y0).astype(dtype)
+        cxc = mnx + cell_size * (fi + 0.5)
+        cyc = mny + cell_size * (fj + 0.5)
+
+        # B element codes transposed once per program: [C, Dz]
+        elT = jnp.swapaxes(b_ref[0, 0, :, 3, :], 0, 1)
+
+        for t in range(Az):
+            czc = mnz + cell_size * (z0 + t + 0.5)
+            a = a_ref[0, 0, z0 + t]                      # [8, C]
+            ax = a[0:1] - cxc
+            ay = a[1:2] - cyc
+            az = a[2:3] - czc
+            ael = a[3:4]
+            sa = ax * ax + ay * ay + az * az
+            one = jnp.ones_like(ax)
+            zero = jnp.zeros_like(ax)
+            a8 = jnp.concatenate(
+                [ax, ay, az, sa, one, zero, zero, zero], axis=0)
+
+            # per-A-row bilinear constant setup (rows [1, C])
+            row = {k: _bilinear_row(consts[k], ael) for k in consts}
+
+            facc = jnp.zeros_like(a)                     # [8, C]
+            eacc = jnp.zeros_like(ax) if with_energy else None
+            for dz in (-1, 0, 1):
+                zb = z0 + t + dz
+                b = b_ref[0, 0, zb]                      # [8, C]
+                bx = b[0:1] - cxc
+                by = b[1:2] - cyc
+                bz = b[2:3] - czc
+                sb = bx * bx + by * by + bz * bz
+                b8 = jnp.concatenate(
+                    [-2.0 * bx, -2.0 * by, -2.0 * bz, one, sb,
+                     zero, zero, zero], axis=0)
+                # rsq[b_slot, a_slot] via MXU (K=8, rows 5-7 zero)
+                rsq = jax.lax.dot_general(b8, a8, dn,
+                                          preferred_element_type=dtype,
+                                          precision=hi)
+                ebc = elT[:, zb:zb + 1]                  # [C, 1]
+
+                def cst(name):
+                    pa, pbc = row[name]
+                    return pa + pbc * ebc                # [C, C]
+
+                rinv = jax.lax.rsqrt(rsq)
+                r = rsq * rinv
+                r2inv = rinv * rinv
+                r6inv = r2inv * r2inv * r2inv
+                f126 = (cst("lj1") * r6inv - cst("lj2")) * r6inv * r2inv
+                drp = r - cst("ljmin")
+                framp = drp * (cst("k3") * drp + cst("k2")) * rinv
+                fp = jnp.where(rsq >= cst("s95sq"), f126, framp)
+                outside = (rsq > cst("ljmaxsq")) | (rsq < cst("ljminsq"))
+                fp = jnp.where(outside, jnp.zeros_like(fp), fp)
+
+                colsum = jnp.sum(fp, axis=0, keepdims=True)   # [1, C]
+                b3 = jnp.concatenate(
+                    [bx, by, bz, zero, zero, zero, zero, zero], axis=0)
+                bfp = jax.lax.dot_general(
+                    b3, fp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                    precision=hi)                              # [8, C]
+                facc = facc + a8 * jnp.concatenate(
+                    [colsum, colsum, colsum, zero, zero, zero, zero, zero],
+                    axis=0) - bfp
+                if with_energy:
+                    v126 = (cst("lj3") * r6inv - cst("lj4")) * r6inv
+                    vramp = drp * drp * (cst("c3") * drp + cst("c2"))
+                    vlj = jnp.where(rsq >= cst("s95sq"), v126, vramp)
+                    vlj = jnp.where(outside, jnp.zeros_like(vlj), vlj)
+                    eacc = eacc + jnp.sum(vlj, axis=0, keepdims=True)
+
+            upd = f_ref[0, 0, t, 0:3] + facc[0:3]
+            f_ref[0, 0, t, 0:3] = upd
+            if with_energy:
+                aown = a[4:5]
+                f_ref[0, 0, t, 3:4] = (f_ref[0, 0, t, 3:4]
+                                       + 0.5 * aown * eacc)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "a_range", "cell_mn", "cell_size", "consts_key", "with_energy",
+    "interpret"))
+def _lj_cell_call(P, *, a_range, cell_mn, cell_size, consts_key,
+                  with_energy, interpret):
+    consts = dict(consts_key)
+    Dx, Dy, Dz, R, C = P.shape
+    (x0, x1), (y0, y1), (z0, z1) = a_range
+    Ax, Ay, Az = x1 - x0, y1 - y0, z1 - z0
+    kernel = _make_kernel(consts, a_range, cell_mn, cell_size, Dz,
+                          with_energy)
+    blk = (1, 1, Dz, R, C)
+    grid = (Ax, Ay, 9)
+    pairs = Ax * Ay * 9 * Az * 3 * C * C
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(blk, lambda i, j, q: (x0 + i, y0 + j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda i, j, q: (x0 + i + q // 3 - 1,
+                                               y0 + j + q % 3 - 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Az, R, C),
+                               lambda i, j, q: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ax, Ay, Az, R, C), P.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=pairs * 30, bytes_accessed=pairs // (C * C) * Dz * R * C * 8,
+            transcendentals=pairs),
+        interpret=interpret,
+    )(P, P)
+    return out
+
+
+def lj_cell_forces(P: jnp.ndarray, consts: dict,
+                   a_range: Tuple[Tuple[int, int], ...],
+                   cell_mn: Tuple[float, float, float], cell_size: float,
+                   with_energy: bool = False, interpret: bool = False):
+    """Run the kernel.
+
+    Args:
+      P: [Dx, Dy, Dz, 8, C] packed cell planes — rows 0-2 x/y/z (padding
+        slots parked at ~1e7), row 3 element code (0/1), row 4 owned flag.
+      consts: from derive_lj_constants().
+      a_range: static per-dim (start, stop) cell ranges covering every cell
+        that can hold an owned atom (RebuildPlan.a_range).
+      cell_mn / cell_size: cell-grid origin and edge (for re-centering).
+
+    Returns [Ax, Ay, Az, 8, C]: rows 0-2 = force on the A-slot atom; row 3 =
+    per-slot owned energy when with_energy (0.5 * owned * sum_b vlj).
+    """
+    consts_key = tuple(sorted(consts.items()))
+    return _lj_cell_call(P, a_range=a_range, cell_mn=tuple(cell_mn),
+                         cell_size=float(cell_size), consts_key=consts_key,
+                         with_energy=with_energy, interpret=interpret)

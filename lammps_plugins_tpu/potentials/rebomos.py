@@ -133,6 +133,8 @@ class REBOMoS(PairStyle):
         self.lj3 = as_d(t.lj3)
         self.lj4 = as_d(t.lj4)
         self.typemap = jnp.asarray(self.typemap_np)
+        from ..ops.lj_cells_pallas import derive_lj_constants
+        self._lj_consts = derive_lj_constants(t)
 
     @classmethod
     def from_file(cls, path: str, elements, ntypes=None, dtype=jnp.float64):
@@ -299,7 +301,71 @@ class REBOMoS(PairStyle):
         else:
             f = -jax.grad(lambda x_: self._rebo_energy(
                 x_, None, el_own, el_all, ghosts, rebo, h))(x)
+        if self._use_lj_pallas(x, nbr.cells):
+            return f + self._lj_forces_pallas(x, ghosts, nbr.cells, h)
         return f + self._lj_forces_cells(x, ghosts, nbr.cells, h)
+
+    @staticmethod
+    def _use_lj_pallas(x, cells) -> bool:
+        """Pallas path: halo-grid CellData on a TPU backend, f32 only
+        (override with LPT_LJ_PALLAS=0/1)."""
+        import os
+        if cells is None or cells.dims is None:
+            return False
+        flag = os.environ.get("LPT_LJ_PALLAS")
+        if flag is not None:
+            return flag not in ("0", "off")
+        return (x.dtype == jnp.float32
+                and jax.default_backend() not in ("cpu",))
+
+    def _cell_planes(self, x, ghosts, cells, h):
+        """Packed [Dx, Dy, Dz, 8, C] planes for the Pallas cell kernel:
+        rows 0-2 x/y/z (pad slots parked at 1e7), 3 element, 4 owned."""
+        x_all = ghosts.all_positions(x, h)
+        xpad = jnp.concatenate(
+            [x_all, jnp.full((1, 3), 1e7, x.dtype)], axis=0)
+        Dx, Dy, Dz = cells.dims
+        C = cells.table.shape[1]
+        ncells = Dx * Dy * Dz
+        table = cells.table[:ncells]
+        xyz = xpad[table].transpose(0, 2, 1)             # [ncells, 3, C]
+        cel = jnp.zeros(table.shape, x.dtype)
+        for t_ in range(1, len(self.typemap_np)):
+            cel = jnp.where(cells.jtype[:ncells] == t_,
+                            float(self.typemap_np[t_]), cel)
+        owned = (table < cells.n_owned).astype(x.dtype)
+        P = jnp.concatenate(
+            [xyz, cel[:, None, :], owned[:, None, :],
+             jnp.zeros((ncells, 3, C), x.dtype)], axis=1)
+        return P.reshape(Dx, Dy, Dz, 8, C), table
+
+    def _lj_forces_pallas(self, x, ghosts, cells, h, interpret=False):
+        """Fused Pallas cell-pair LJ sweep (ops/lj_cells_pallas.py): full
+        27-offset A-side enumeration, so owned forces are complete with no
+        scatter; only the cell-table -> atom remap (one row scatter-set,
+        each owned atom in exactly one slot) runs outside the kernel."""
+        from ..ops import lj_cells_pallas as ljp
+        n = x.shape[0]
+        P, table = self._cell_planes(x, ghosts, cells, h)
+        Dx, Dy, Dz = cells.dims
+        C = table.shape[1]
+        F = ljp.lj_cell_forces(P, self._lj_consts, cells.a_range,
+                               cells.cell_mn, cells.cell_size,
+                               interpret=interpret)
+        (x0, x1), (y0, y1), (z0, z1) = cells.a_range
+        ids = table.reshape(Dx, Dy, Dz, C)[x0:x1, y0:y1, z0:z1]
+        F3 = F[..., 0:3, :].transpose(0, 1, 2, 4, 3)     # [...,C,3]
+        return jnp.zeros((n, 3), x.dtype).at[ids.reshape(-1)].set(
+            F3.reshape(-1, 3), mode="drop")
+
+    def _lj_energy_pallas(self, x, ghosts, cells, h, interpret=False):
+        """Total switched-LJ energy from the kernel's energy row."""
+        from ..ops import lj_cells_pallas as ljp
+        P, _ = self._cell_planes(x, ghosts, cells, h)
+        F = ljp.lj_cell_forces(P, self._lj_consts, cells.a_range,
+                               cells.cell_mn, cells.cell_size,
+                               with_energy=True, interpret=interpret)
+        return jnp.sum(F[..., 3, :])
 
     def _rebo_forces_mirror(self, x, el_own, el_all, ghosts, rebo, h):
         """REBO forces without any per-edge scatter.

@@ -119,16 +119,16 @@ class Engine:
         shift = np.asarray(host.ghosts.shift)
         h = self.state.box.h_np()
         x_all = np.concatenate([x_np, x_np[owner] + shift @ h])
-        mn = np.array(plan0.grid_mn)
-
-        def occupancy(dims, size):
+        def occupancy(dims, size, mn):
             dims = np.array(dims)
             c3 = np.clip(((x_all - mn) / size).astype(np.int64), 0, dims - 1)
             cid = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
             return int(np.bincount(cid).max())
 
-        occ = occupancy(plan0.cell_dims, plan0.cell_size)
-        occ_f = occupancy(plan0.cand_dims, plan0.cand_size)
+        occ = occupancy(plan0.cell_dims, plan0.cell_size,
+                        np.array(plan0.cell_mn))
+        occ_f = occupancy(plan0.cand_dims, plan0.cand_size,
+                          np.array(plan0.grid_mn))
         self._plan = device_build.make_plan(
             self.state.box, requests, self.skin, ghost_count, occ, k_counts,
             slack=slack, cell_tiers=getattr(self.pair, "cell_tiers", ()),

@@ -45,6 +45,18 @@ from .build import NeighborData
 BIG = jnp.inf
 
 
+def _select_k_mode():
+    """Pallas select-k on accelerators; XLA top_k on CPU (interpret mode is
+    available for tests via LPT_SELECT_PALLAS=interpret)."""
+    import os
+    flag = os.environ.get("LPT_SELECT_PALLAS")
+    if flag == "interpret":
+        return "interpret"
+    if flag is not None:
+        return flag not in ("0", "off")
+    return jax.default_backend() not in ("cpu",)
+
+
 def _matvec3(v, m):
     """Row-vector [.,3] x [3,3] written component-wise.
 
@@ -269,36 +281,53 @@ def _nbr_cell_ids(dims, offs):
     return np.where(ok, nbid, ncells + 1).astype(np.int32)
 
 
-def _mirror_table(idx, mask, owner, x_pad, xw, n, K):
+def _inverse_shift_perm(shifts) -> np.ndarray:
+    """Static [S+1] permutation: slot 0 = identity shift, slot s+1 = image
+    shift shifts[s]; entry = the slot of the NEGATED shift."""
+    lut = {(0, 0, 0): 0}
+    for i, s in enumerate(shifts):
+        lut[tuple(s)] = i + 1
+    inv = np.zeros(len(shifts) + 1, np.int32)
+    for i, s in enumerate(shifts):
+        inv[i + 1] = lut[(-s[0], -s[1], -s[2])]
+    return inv
+
+
+def _mirror_table(idx, mask, owner, ghost_valid, sidx_ghost, inv_sidx, n, K):
     """[N, K] flat slot (row*K + col) of each edge's mirror edge.
 
-    Edge (i, j) with j possibly a ghost: the mirror is the unique edge
-    (q, j') with q = owner(j) and j' the image of i such that the
-    displacement vectors are exact negatives (newton-pair bijection,
-    the TPU replacement for reverse ghost-force communication).  Found by
-    position matching: scanned one mirror column at a time to bound the
-    [N, K, 3] working set."""
-    nn = idx.shape[0]
-    # displacement of every edge (same arithmetic as the force path)
-    D = x_pad[idx] - xw[:, None, :]                    # [N, K, 3]
-    owner_all = jnp.concatenate(
-        [jnp.arange(n, dtype=owner.dtype), owner])
-    r = owner_all[jnp.where(mask, idx, 0)]             # [N, K] mirror rows
-    rows = jnp.arange(nn, dtype=jnp.int32)
+    Edge (i, j): the mirror is the unique edge (owner(j), image of i under
+    the NEGATED shift of j) — the newton-pair bijection, the TPU
+    replacement for reverse ghost-force communication (pair_aeam.cpp:257).
+    Resolved exactly via the ghost inverse table ginv[(owner, shift)] ->
+    ghost id (no position matching): one [N, K, K] integer compare against
+    the mirror rows' index lists."""
+    Mg = owner.shape[0]
+    owner_all = jnp.concatenate([jnp.arange(n, dtype=owner.dtype), owner])
+    sidx_all = jnp.concatenate(
+        [jnp.zeros(n, jnp.int32), sidx_ghost.astype(jnp.int32)])
+    safe = jnp.where(mask, idx, 0)
+    o = owner_all[safe]                                # [N, K] mirror rows
+    sj = sidx_all[safe]                                # [N, K] shift slots
 
-    def one_col(_, k):
-        rk = r[:, k]                                   # [N]
-        Dk = D[:, k, :]                                # [N, 3]
-        Dr = D[rk]                                     # [N, K, 3] row gather
-        diff = Dr + Dk[:, None, :]
-        err = jnp.sum(diff * diff, axis=-1)            # [N, K]
-        col = jnp.argmin(err, axis=1).astype(jnp.int32)
-        good = jnp.take_along_axis(err, col[:, None], axis=1)[:, 0] < 1e-4
-        flat = jnp.where(mask[:, k] & good, rk * K + col, -1)
-        return None, flat.astype(jnp.int32)
+    S1 = inv_sidx.shape[0]
+    # flat [(n+1)*S1] inverse table (2D scatters/batched gathers lower
+    # badly on TPU; flat element ops run at bandwidth)
+    ginv = jnp.full(((n + 1) * S1,), -1, jnp.int32)
+    ar_n = jnp.arange(n, dtype=jnp.int32)
+    ginv = ginv.at[ar_n * S1].set(ar_n)
+    gown = jnp.where(ghost_valid, owner.astype(jnp.int32), n)
+    ginv = ginv.at[gown * S1 + sidx_ghost].set(
+        n + jnp.arange(Mg, dtype=jnp.int32), mode="drop")
 
-    _, cols = jax.lax.scan(one_col, None, jnp.arange(K))
-    return cols.T                                      # [N, K]
+    inv_sj = jnp.asarray(inv_sidx)[sj]                 # [N, K]
+    tgt = ginv[ar_n[:, None] * S1 + inv_sj]            # [N, K] ghost of i
+    idxro = idx[o]                                     # [N, K, K] row gather
+    eq = (idxro == tgt[:, :, None]) & (tgt[:, :, None] >= 0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+    colp = jnp.min(jnp.where(eq, iota_k, K), axis=2)
+    found = colp < K
+    return jnp.where(mask & found, o * K + colp, -1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -356,9 +385,6 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
         flags["count:candcell"] = occf
         fdims = plan.cand_dims
         ncf = fdims[0] * fdims[1] * fdims[2]
-        # per-fine-cell data tables (row gathers, ~ncf*Cf indices)
-        xf = x_pad[dense_f]                          # [ncf+2, Cf, 3]
-        tf = t_pad[dense_f]                          # [ncf+2, Cf]
 
         # per-owned-atom 27-cell neighborhood (fine)
         offs27 = np.array([(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
@@ -373,28 +399,64 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
         ncid = jnp.where(in_rng, ncid, ncf + 1)      # oob row
         W = 27 * Cf
         cand = dense_f[ncid].reshape(n, W)           # row gather: n*27 idx
-        cand_t = tf[ncid].reshape(n, W)
-        cand_x = xf[ncid].reshape(n, W, 3)
-
+        # candidate data gathered directly by atom id with 2-D-shaped
+        # index/output (gathers with 1-D/flattened outputs fall off the
+        # vectorized path on TPU: 55 ms vs ~1 ms for the same indices)
+        cand_t = t_pad[cand]                         # [n, W]
         rsq = jnp.zeros((n, W), dtype)
         for a in range(3):
-            da = cand_x[..., a] - xw[:, a][:, None]
+            da = x_pad[:, a][cand] - xw[:, a][:, None]
             rsq = rsq + da * da
         valid = (cand < m_all) & (cand != jnp.arange(n)[:, None])
         ti = types[:, None]
 
+        # ghost shift slots for the mirror-edge table (slot 0 = identity)
+        sidx_ghost = (sel_safe // n).astype(jnp.int32) + 1
+        sidx_ghost = jnp.where(ghost_valid, sidx_ghost, 0)
+        inv_sidx = _inverse_shift_perm(plan.shifts)
+
+        use_select_k = _select_k_mode()
+        rowbase = jnp.arange(n, dtype=jnp.int32)[:, None] * W
         for name, K in plan.k_caps:
-            cut = cut_mats[name][ti, cand_t] + plan.skin
+            # per-type-pair cutoff as a select chain: the 2D fancy-index
+            # gather cut_mats[ti, cand_t] costs ~800 ms at 63M indices on
+            # TPU; the chain is pure vector compare/selects (~2 ms)
+            cm = cut_mats[name]
+            T = cm.shape[0] - 1
+            cut = jnp.zeros(cand_t.shape, dtype)
+            for a in range(1, T + 1):
+                row = jnp.zeros(cand_t.shape, dtype)
+                for b in range(1, T + 1):
+                    row = jnp.where(cand_t == b, cm[a, b], row)
+                cut = jnp.where(ti == a, row, cut)
+            cut = cut + plan.skin
             m_tier = valid & (rsq < cut * cut)
             key = jnp.where(m_tier, rsq, BIG)
-            neg_vals, pos = jax.lax.top_k(-key, K)
-            idx = jnp.take_along_axis(cand, pos, axis=1)
-            jtype = jnp.take_along_axis(cand_t, pos, axis=1)
-            mask = neg_vals > -BIG
+            if use_select_k:
+                from ..ops.select_k_pallas import select_k
+                Wp = -(-W // 128) * 128
+                keyp = jnp.pad(key, ((0, 0), (0, Wp - W)),
+                               constant_values=BIG)
+                pos = select_k(keyp, K,
+                               interpret=use_select_k == "interpret")
+                mask = pos < W
+                pos = jnp.minimum(pos, W - 1)
+            else:
+                neg_vals, pos = jax.lax.top_k(-key, K)
+                mask = neg_vals > -BIG
+            # flat-index gather with 2-D [N, K] index/output shapes (both
+            # take_along_axis and 1-D-output gathers hit TPU slow paths)
+            idx = cand.reshape(-1)[rowbase + pos]
             idx = jnp.where(mask, idx, 0).astype(jnp.int32)
-            jtype = jnp.where(mask, jtype, 0).astype(jnp.int32)
-            mirror = (_mirror_table(idx, mask, ghosts.owner, x_pad, xw, n, K)
+            jtype = jnp.where(mask, t_pad[idx], 0).astype(jnp.int32)
+            mirror = (_mirror_table(idx, mask, ghosts.owner, ghost_valid,
+                                    sidx_ghost, inv_sidx, n, K)
                       if name in plan.mirror_tiers else None)
+            # NOTE: a fully transposed [K, N] hot path was tried and is
+            # 4x SLOWER end-to-end: gathers whose source is a 1-D column
+            # ([M]) get flattened to {0:T(1024)} scalar-path fusions by
+            # XLA (~35 ns/elem), while row gathers from [M, 3] with 2-D
+            # indices stay vectorized.  Keep row-major lists.
             lists[name] = NeighborList(idx=idx, mask=mask, jtype=jtype,
                                        mirror=mirror)
             kmax = jnp.max(jnp.sum(m_tier, axis=1))

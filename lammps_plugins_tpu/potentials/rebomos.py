@@ -134,7 +134,9 @@ class REBOMoS(PairStyle):
         self.lj4 = as_d(t.lj4)
         self.typemap = jnp.asarray(self.typemap_np)
         from ..ops.lj_cells_pallas import derive_lj_constants
+        from ..ops.rebo_pallas import derive_rebo_constants
         self._lj_consts = derive_lj_constants(t)
+        self._rebo_consts = derive_rebo_constants(t)
 
     @classmethod
     def from_file(cls, path: str, elements, ntypes=None, dtype=jnp.float64):
@@ -306,17 +308,19 @@ class REBOMoS(PairStyle):
         return f + self._lj_forces_cells(x, ghosts, nbr.cells, h)
 
     @staticmethod
-    def _use_lj_pallas(x, cells) -> bool:
-        """Pallas path: halo-grid CellData on a TPU backend, f32 only
-        (override with LPT_LJ_PALLAS=0/1)."""
+    def _use_pallas(x) -> bool:
+        """Pallas hot path: TPU backend, f32 only (override LPT_PALLAS)."""
         import os
-        if cells is None or cells.dims is None:
-            return False
-        flag = os.environ.get("LPT_LJ_PALLAS")
+        flag = os.environ.get("LPT_PALLAS")
         if flag is not None:
             return flag not in ("0", "off")
         return (x.dtype == jnp.float32
                 and jax.default_backend() not in ("cpu",))
+
+    @classmethod
+    def _use_lj_pallas(cls, x, cells) -> bool:
+        return (cells is not None and cells.dims is not None
+                and cls._use_pallas(x))
 
     def _cell_planes(self, x, ghosts, cells, h):
         """Packed [Dx, Dy, Dz, 8, C] planes for the Pallas cell kernel:
@@ -367,7 +371,8 @@ class REBOMoS(PairStyle):
                                with_energy=True, interpret=interpret)
         return jnp.sum(F[..., 3, :])
 
-    def _rebo_forces_mirror(self, x, el_own, el_all, ghosts, rebo, h):
+    def _rebo_forces_mirror(self, x, el_own, el_all, ghosts, rebo, h,
+                            force_pallas=None, interpret=False):
         """REBO forces without any per-edge scatter.
 
         The energy is a function of the edge displacement set {d_e}; its
@@ -380,19 +385,40 @@ class REBOMoS(PairStyle):
         atoms) into a 34 ms row gather.  This is the TPU answer to
         newton-on reverse ghost communication (pair_aeam.cpp:257)."""
         x_all = ghosts.all_positions(x, h)
+        use_pallas = (self._use_pallas(x) if force_pallas is None
+                      else force_pallas)
+        if use_pallas and rebo.tpose is not None:
+            from ..ops.rebo_pallas import rebo_forces_transposed
+            idxT, jtypeT, maskT, mirrorT = rebo.tpose
+            jelT = jnp.zeros(jtypeT.shape, x.dtype)
+            for t_ in range(1, len(self.typemap_np)):
+                jelT = jnp.where(jtypeT == t_, float(self.typemap_np[t_]),
+                                 jelT)
+            return rebo_forces_transposed(
+                x, x_all, idxT, jelT, maskT, mirrorT,
+                el_own.astype(x.dtype), self._rebo_consts,
+                interpret=interpret)
+
         D = x_all[rebo.idx]                           # [N,K,3] row gather
         dx = D[..., 0] - x[:, 0][:, None]
         dy = D[..., 1] - x[:, 1][:, None]
         dz = D[..., 2] - x[:, 2][:, None]
 
-        def e_of_d(dx_, dy_, dz_):
-            rsq = dx_ * dx_ + dy_ * dy_ + dz_ * dz_
-            rsq = jnp.where(rebo.mask, rsq, 1.0)
-            return self._rebo_energy_core(dx_, dy_, dz_, rsq, rebo.mask,
-                                          rebo, el_own, el_all)
+        if use_pallas:
+            from ..ops.rebo_pallas import rebo_edge_cotangents
+            jel = self._jel(rebo, el_all)
+            gx, gy, gz = rebo_edge_cotangents(
+                dx, dy, dz, jel, rebo.mask, el_own,
+                interpret=interpret, consts=self._rebo_consts)
+        else:
+            def e_of_d(dx_, dy_, dz_):
+                rsq = dx_ * dx_ + dy_ * dy_ + dz_ * dz_
+                rsq = jnp.where(rebo.mask, rsq, 1.0)
+                return self._rebo_energy_core(dx_, dy_, dz_, rsq, rebo.mask,
+                                              rebo, el_own, el_all)
 
-        _, vjp = jax.vjp(e_of_d, dx, dy, dz)
-        gx, gy, gz = vjp(jnp.ones((), x.dtype))
+            _, vjp = jax.vjp(e_of_d, dx, dy, dz)
+            gx, gy, gz = vjp(jnp.ones((), x.dtype))
         gflat = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
         gmir = gflat[jnp.maximum(rebo.mirror, 0)]     # [N,K,3] row gather
         gmir = jnp.where((rebo.mask & (rebo.mirror >= 0))[..., None],

@@ -82,3 +82,23 @@ def test_energy_matches_xla_cells(cells_setup):
     e_pal = float(pair._lj_energy_pallas(st.x, nbr.ghosts, nbr.cells, h,
                                          interpret=True))
     assert abs(e_pal - e_ref) < 2e-5 * abs(e_ref)
+
+
+def test_rebo_cotangents_match_autodiff(cells_setup):
+    """Hand-derived REBO force kernel vs the autodiff vjp path (f32)."""
+    eng = cells_setup
+    pair, st, nbr = eng.pair, eng.state, eng.nbr
+    h = st.box.h
+    ghosts, rebo = nbr.ghosts, nbr.lists["rebo"]
+    el_own = pair.typemap[st.type]
+    el_all = pair.typemap[ghosts.all_types(st.type)]
+
+    f_ad = pair._rebo_forces_mirror(st.x, el_own, el_all, ghosts, rebo, h,
+                                    force_pallas=False)
+    f_pl = pair._rebo_forces_mirror(st.x, el_own, el_all, ghosts, rebo, h,
+                                    force_pallas=True, interpret=True)
+    f_ad = np.asarray(f_ad)
+    f_pl = np.asarray(f_pl)
+    scale = np.abs(f_ad).max()
+    assert scale > 1e-3
+    np.testing.assert_allclose(f_pl, f_ad, atol=5e-4 * scale, rtol=5e-4)

@@ -12,11 +12,9 @@ restructured for the TPU memory system:
     its own cell row and the two scatter-adds of the half-offset form
     (B-side cell scatter + ghost-to-owner reverse scatter) vanish.  Pairs are
     evaluated twice in total (once per side) — cheaper than scattering.
-  * Pair distances ride the MXU: rsq[b, a] is one K=8 matmul of augmented
-    coordinate rows [x, y, z, |x|^2, 1] against [-2x', -2y', -2z', 1, |x'|^2],
-    with coordinates re-centered on the A cell so the f32 (bf16-multipass)
-    matmul keeps ~1e-7 relative accuracy.  Force assembly is the second
-    matmul: F_a = x_a * sum_b fp - sum_b fp * x_b.
+  * Pair blocks [C, C] are pure VPU arithmetic (an MXU augmented-matmul
+    rsq variant was tried and measured SLOWER — f32 HIGHEST dots cost 6
+    bf16 passes per block — and lower-precision dots corrupt forces).
   * Per-pair-type constants (sigma/epsilon-derived) enter as bilinear
     functions of the element codes (exact for codes in {0, 1}) — one FMA per
     constant per pair instead of gather or select chains.
@@ -105,11 +103,9 @@ def _bilinear_row(coef, ael):
 
 def _make_kernel(consts: dict, a_range, cell_mn, cell_size, Dz: int,
                  with_energy: bool):
+    del cell_mn, cell_size                  # geometry only sizes the grid
     (x0, _), (y0, _), (z0, z1) = a_range
     Az = z1 - z0
-    mnx, mny, mnz = cell_mn
-    dn = (((0,), (0,)), ((), ()))
-    hi = jax.lax.Precision.HIGHEST
 
     def kernel(a_ref, b_ref, f_ref):
         q = pl.program_id(2)
@@ -118,27 +114,14 @@ def _make_kernel(consts: dict, a_range, cell_mn, cell_size, Dz: int,
         def _():
             f_ref[...] = jnp.zeros_like(f_ref)
 
-        dtype = a_ref.dtype
-        fi = (pl.program_id(0) + x0).astype(dtype)
-        fj = (pl.program_id(1) + y0).astype(dtype)
-        cxc = mnx + cell_size * (fi + 0.5)
-        cyc = mny + cell_size * (fj + 0.5)
-
         # B element codes transposed once per program: [C, Dz]
         elT = jnp.swapaxes(b_ref[0, 0, :, 3, :], 0, 1)
 
         for t in range(Az):
-            czc = mnz + cell_size * (z0 + t + 0.5)
             a = a_ref[0, 0, z0 + t]                      # [8, C]
-            ax = a[0:1] - cxc
-            ay = a[1:2] - cyc
-            az = a[2:3] - czc
+            ax, ay, az = a[0:1], a[1:2], a[2:3]
             ael = a[3:4]
-            sa = ax * ax + ay * ay + az * az
-            one = jnp.ones_like(ax)
             zero = jnp.zeros_like(ax)
-            a8 = jnp.concatenate(
-                [ax, ay, az, sa, one, zero, zero, zero], axis=0)
 
             # per-A-row bilinear constant setup (rows [1, C])
             row = {k: _bilinear_row(consts[k], ael) for k in consts}
@@ -148,17 +131,13 @@ def _make_kernel(consts: dict, a_range, cell_mn, cell_size, Dz: int,
             for dz in (-1, 0, 1):
                 zb = z0 + t + dz
                 b = b_ref[0, 0, zb]                      # [8, C]
-                bx = b[0:1] - cxc
-                by = b[1:2] - cyc
-                bz = b[2:3] - czc
-                sb = bx * bx + by * by + bz * bz
-                b8 = jnp.concatenate(
-                    [-2.0 * bx, -2.0 * by, -2.0 * bz, one, sb,
-                     zero, zero, zero], axis=0)
-                # rsq[b_slot, a_slot] via MXU (K=8, rows 5-7 zero)
-                rsq = jax.lax.dot_general(b8, a8, dn,
-                                          preferred_element_type=dtype,
-                                          precision=hi)
+                # pair block [C(b) sublanes, C(a) lanes], pure VPU — the
+                # MXU (augmented-matmul) form was measured slower: the
+                # f32 HIGHEST dot is 6 bf16 passes per block
+                dxm = ax - jnp.swapaxes(b[0:1], 0, 1)
+                dym = ay - jnp.swapaxes(b[1:2], 0, 1)
+                dzm = az - jnp.swapaxes(b[2:3], 0, 1)
+                rsq = dxm * dxm + dym * dym + dzm * dzm
                 ebc = elT[:, zb:zb + 1]                  # [C, 1]
 
                 def cst(name):
@@ -176,16 +155,12 @@ def _make_kernel(consts: dict, a_range, cell_mn, cell_size, Dz: int,
                 outside = (rsq > cst("ljmaxsq")) | (rsq < cst("ljminsq"))
                 fp = jnp.where(outside, jnp.zeros_like(fp), fp)
 
-                colsum = jnp.sum(fp, axis=0, keepdims=True)   # [1, C]
-                b3 = jnp.concatenate(
-                    [bx, by, bz, zero, zero, zero, zero, zero], axis=0)
-                bfp = jax.lax.dot_general(
-                    b3, fp, (((1,), (0,)), ((), ())),
-                    preferred_element_type=dtype,
-                    precision=hi)                              # [8, C]
-                facc = facc + a8 * jnp.concatenate(
-                    [colsum, colsum, colsum, zero, zero, zero, zero, zero],
-                    axis=0) - bfp
+                # F_a = sum_b fp * (x_a - x_b), reduced over sublanes
+                fxr = jnp.sum(fp * dxm, axis=0, keepdims=True)
+                fyr = jnp.sum(fp * dym, axis=0, keepdims=True)
+                fzr = jnp.sum(fp * dzm, axis=0, keepdims=True)
+                facc = facc + jnp.concatenate(
+                    [fxr, fyr, fzr, zero, zero, zero, zero, zero], axis=0)
                 if with_energy:
                     v126 = (cst("lj3") * r6inv - cst("lj4")) * r6inv
                     vramp = drp * drp * (cst("c3") * drp + cst("c2"))

@@ -303,25 +303,34 @@ def _mirror_table(idx, mask, owner, ghost_valid, sidx_ghost, inv_sidx, n, K):
     ghost id (no position matching): one [N, K, K] integer compare against
     the mirror rows' index lists."""
     Mg = owner.shape[0]
-    owner_all = jnp.concatenate([jnp.arange(n, dtype=owner.dtype), owner])
-    sidx_all = jnp.concatenate(
-        [jnp.zeros(n, jnp.int32), sidx_ghost.astype(jnp.int32)])
+    # mirror row + inverse-shift slot packed as 2 columns so the per-edge
+    # lookup is ONE row gather (1-D-source element gathers get flattened
+    # to a scalar path by XLA: 50+ ms each at 3.1M edges)
+    inv_of = jnp.asarray(inv_sidx)[sidx_ghost]         # [Mg]
+    # 3 columns: [m, 2]-wide row gathers tile-pad 64x (measured 33 ms);
+    # 3-wide rows match the T(4,128)-class layout the step path uses
+    pack = jnp.stack(
+        [jnp.concatenate([jnp.arange(n, dtype=jnp.int32),
+                          owner.astype(jnp.int32)]),
+         jnp.concatenate([jnp.zeros(n, jnp.int32), inv_of]),
+         jnp.zeros(n + Mg, jnp.int32)], axis=1)
     safe = jnp.where(mask, idx, 0)
-    o = owner_all[safe]                                # [N, K] mirror rows
-    sj = sidx_all[safe]                                # [N, K] shift slots
+    os2 = pack[safe]                                   # [N, K, 3]
+    o = os2[..., 0]                                    # mirror rows
+    inv_sj = os2[..., 1]                               # inverse shift slot
 
     S1 = inv_sidx.shape[0]
-    # flat [(n+1)*S1] inverse table (2D scatters/batched gathers lower
-    # badly on TPU; flat element ops run at bandwidth)
-    ginv = jnp.full(((n + 1) * S1,), -1, jnp.int32)
     ar_n = jnp.arange(n, dtype=jnp.int32)
-    ginv = ginv.at[ar_n * S1].set(ar_n)
+    ginv = jnp.full((n + 1, S1), -1, jnp.int32)
+    ginv = ginv.at[ar_n, 0].set(ar_n)
     gown = jnp.where(ghost_valid, owner.astype(jnp.int32), n)
-    ginv = ginv.at[gown * S1 + sidx_ghost].set(
+    ginv = ginv.at[gown, sidx_ghost].set(
         n + jnp.arange(Mg, dtype=jnp.int32), mode="drop")
-
-    inv_sj = jnp.asarray(inv_sidx)[sj]                 # [N, K]
-    tgt = ginv[ar_n[:, None] * S1 + inv_sj]            # [N, K] ghost of i
+    # per-edge tgt = ginv[i, inv_sj]: small-S1 one-hot select chain over
+    # the identity rows (no batched gather)
+    tgt = jnp.full((n, K), -1, jnp.int32)
+    for s in range(S1):
+        tgt = jnp.where(inv_sj == s, ginv[:n, s][:, None], tgt)
     idxro = idx[o]                                     # [N, K, K] row gather
     eq = (idxro == tgt[:, :, None]) & (tgt[:, :, None] >= 0)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
@@ -398,14 +407,18 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
             + nbr3[..., 2]
         ncid = jnp.where(in_rng, ncid, ncf + 1)      # oob row
         W = 27 * Cf
+        # two-step candidate assembly: small per-cell planes (element
+        # gathers over ~ncf*Cf) then [n, 27] row gathers of Cf-wide rows.
+        # Direct by-atom-id element gathers of the [n, W] candidates get
+        # flattened to a ~17 ns/elem scalar path by XLA (~2.7 s); a packed
+        # [.., 5]-column row gather tile-pads 8.5x and OOMs HBM.
         cand = dense_f[ncid].reshape(n, W)           # row gather: n*27 idx
-        # candidate data gathered directly by atom id with 2-D-shaped
-        # index/output (gathers with 1-D/flattened outputs fall off the
-        # vectorized path on TPU: 55 ms vs ~1 ms for the same indices)
-        cand_t = t_pad[cand]                         # [n, W]
+        tf = t_pad[dense_f]                          # [ncf+2, Cf]
+        cand_t = tf[ncid].reshape(n, W)
         rsq = jnp.zeros((n, W), dtype)
         for a in range(3):
-            da = x_pad[:, a][cand] - xw[:, a][:, None]
+            plane = x_pad[:, a][dense_f]             # [ncf+2, Cf]
+            da = plane[ncid].reshape(n, W) - xw[:, a][:, None]
             rsq = rsq + da * da
         valid = (cand < m_all) & (cand != jnp.arange(n)[:, None])
         ti = types[:, None]
@@ -437,18 +450,23 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
                 Wp = -(-W // 128) * 128
                 keyp = jnp.pad(key, ((0, 0), (0, Wp - W)),
                                constant_values=BIG)
-                pos = select_k(keyp, K,
-                               interpret=use_select_k == "interpret")
+                # id + type ride as in-kernel payloads (exact in f32:
+                # ids < 2^24); post-hoc gathers of the 63M-element
+                # candidate arrays cost ~55 ms each
+                padw = lambda a: jnp.pad(a, ((0, 0), (0, Wp - W)))
+                pos, idf, jtf = select_k(
+                    keyp, K, interpret=use_select_k == "interpret",
+                    payloads=(padw(cand), padw(cand_t)))
                 mask = pos < W
-                pos = jnp.minimum(pos, W - 1)
+                idx = jnp.where(mask, idf.astype(jnp.int32), 0)
+                jtype = jnp.where(mask, jtf.astype(jnp.int32), 0)
             else:
                 neg_vals, pos = jax.lax.top_k(-key, K)
                 mask = neg_vals > -BIG
-            # flat-index gather with 2-D [N, K] index/output shapes (both
-            # take_along_axis and 1-D-output gathers hit TPU slow paths)
-            idx = cand.reshape(-1)[rowbase + pos]
-            idx = jnp.where(mask, idx, 0).astype(jnp.int32)
-            jtype = jnp.where(mask, t_pad[idx], 0).astype(jnp.int32)
+                idx = cand.reshape(-1)[rowbase + pos]
+                jtype = cand_t.reshape(-1)[rowbase + pos]
+                idx = jnp.where(mask, idx, 0).astype(jnp.int32)
+                jtype = jnp.where(mask, jtype, 0).astype(jnp.int32)
             mirror = (_mirror_table(idx, mask, ghosts.owner, ghost_valid,
                                     sidx_ghost, inv_sidx, n, K)
                       if name in plan.mirror_tiers else None)

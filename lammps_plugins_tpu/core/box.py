@@ -32,31 +32,53 @@ class Box:
     h: jnp.ndarray          # [3,3], lower-triangular (restricted triclinic)
     lo: jnp.ndarray         # [3]
     periodic: Tuple[bool, bool, bool] = (True, True, True)
+    #: full-precision geometry masters (hashable aux, tuples of floats).
+    #: For f32 device boxes, host-side geometry (lattice fills, ghost
+    #: margins, wrapping) must use these: filtering lattice sites against
+    #: the f32-rounded cell keeps a duplicate boundary layer (observed:
+    #: 34,461 atoms in a 32,000-site fcc fill).
+    h64: "tuple | None" = None
+    lo64: "tuple | None" = None
 
     # -- pytree plumbing ---------------------------------------------------
     def tree_flatten(self):
-        return (self.h, self.lo), self.periodic
+        return (self.h, self.lo), (self.periodic, self.h64, self.lo64)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         h, lo = children
-        return cls(h=h, lo=lo, periodic=aux)
+        if isinstance(aux, tuple) and len(aux) == 3 \
+                and isinstance(aux[0], tuple) and (
+                    aux[1] is None or isinstance(aux[1], tuple)):
+            periodic, h64, lo64 = aux
+        else:                     # pre-h64 pytrees (old checkpoints)
+            periodic, h64, lo64 = aux, None, None
+        return cls(h=h, lo=lo, periodic=periodic, h64=h64, lo64=lo64)
+
+    @staticmethod
+    def _master(arr) -> tuple:
+        a = np.asarray(arr, np.float64)
+        return tuple(map(tuple, a)) if a.ndim == 2 else tuple(a)
 
     # -- constructors ------------------------------------------------------
     @classmethod
     def orthogonal(cls, lengths, lo=(0.0, 0.0, 0.0), periodic=(True,) * 3,
                    dtype=jnp.float64):
-        h = jnp.diag(jnp.asarray(lengths, dtype=dtype))
-        return cls(h=h, lo=jnp.asarray(lo, dtype=dtype), periodic=tuple(periodic))
+        h64 = np.diag(np.asarray(lengths, np.float64))
+        return cls(h=jnp.asarray(h64, dtype=dtype),
+                   lo=jnp.asarray(lo, dtype=dtype), periodic=tuple(periodic),
+                   h64=cls._master(h64), lo64=cls._master(lo))
 
     @classmethod
     def triclinic(cls, lx, ly, lz, xy=0.0, xz=0.0, yz=0.0,
                   lo=(0.0, 0.0, 0.0), periodic=(True,) * 3, dtype=jnp.float64):
         """LAMMPS-style box from edge lengths and tilt factors."""
-        h = jnp.array([[lx, 0.0, 0.0],
-                       [xy, ly, 0.0],
-                       [xz, yz, lz]], dtype=dtype)
-        return cls(h=h, lo=jnp.asarray(lo, dtype=dtype), periodic=tuple(periodic))
+        h64 = np.array([[lx, 0.0, 0.0],
+                        [xy, ly, 0.0],
+                        [xz, yz, lz]], np.float64)
+        return cls(h=jnp.asarray(h64, dtype=dtype),
+                   lo=jnp.asarray(lo, dtype=dtype), periodic=tuple(periodic),
+                   h64=cls._master(h64), lo64=cls._master(lo))
 
     # -- geometry ----------------------------------------------------------
     @property
@@ -153,9 +175,13 @@ class Box:
     # rebuild path; eager jnp ops are expensive on remote-compile TPU
     # backends, so host code must stay in numpy) ---------------------------
     def h_np(self) -> np.ndarray:
+        if self.h64 is not None:
+            return np.array(self.h64, dtype=np.float64)
         return np.asarray(self.h, dtype=np.float64)
 
     def lo_np(self) -> np.ndarray:
+        if self.lo64 is not None:
+            return np.array(self.lo64, dtype=np.float64)
         return np.asarray(self.lo, dtype=np.float64)
 
     def perpendicular_widths_np(self) -> np.ndarray:
@@ -190,8 +216,8 @@ class Box:
 
     def corners(self) -> np.ndarray:
         """The 8 Cartesian corners of the box (host-side numpy)."""
-        h = np.asarray(self.h)
-        lo = np.asarray(self.lo)
+        h = self.h_np()
+        lo = self.lo_np()
         out = []
         for i in (0, 1):
             for j in (0, 1):

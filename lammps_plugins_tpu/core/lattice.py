@@ -117,8 +117,8 @@ def create_atoms_box(lattice: Lattice, box: Box,
     in.rebomos-bulk:16-22).
     Returns (positions [N,3], types [N]).
     """
-    h = np.asarray(box.h, float)
-    lo = np.asarray(box.lo, float)
+    h = box.h_np()
+    lo = box.lo_np()
 
     # bounding cell ranges: box corners in lattice coords, +/- 2 margin
     corners = box.corners() - lattice.origin * lattice.spacings()

@@ -162,6 +162,20 @@ def edge_components(x: jnp.ndarray, ghosts: Ghosts, nlist: NeighborList,
     return dx, dy, dz, rsq_safe, nlist.mask
 
 
+def mirror_combine(gx, gy, gz, nlist: NeighborList):
+    """Atom forces from per-edge cotangents G = dE/dd via the mirror-edge
+    bijection: F_i = sum_k G[i,k] - sum_k G[mirror(i,k)] — the scatter-free
+    TPU replacement for newton-pair reverse accumulation
+    (pair_aeam.cpp:257).  Requires nlist.mirror (device rebuild)."""
+    gflat = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    gmir = gflat[jnp.maximum(nlist.mirror, 0)]
+    gmir = jnp.where((nlist.mask & (nlist.mirror >= 0))[..., None],
+                     gmir, 0.0)
+    fc = jnp.stack([jnp.sum(gx, 1), jnp.sum(gy, 1), jnp.sum(gz, 1)],
+                   axis=-1)
+    return fc - jnp.sum(gmir, axis=1)
+
+
 def edge_vectors(x: jnp.ndarray, ghosts: Ghosts, nlist: NeighborList,
                  h: jnp.ndarray, strain: jnp.ndarray | None = None):
     """Per-edge displacement vectors d[i,k] = x_neighbor - x_center.

@@ -81,7 +81,10 @@ def select_k(keys: jnp.ndarray, k: int, interpret: bool = False,
     Returns pos [N, k] or (pos, *selected) when payloads are given.
     """
     N, W = keys.shape
+    # block size bounded by VMEM: inputs + scratch + pipelining buffers
     NB = 256
+    while NB > 8 and (4 + len(payloads)) * NB * W * 4 > 10 * 2 ** 20:
+        NB //= 2
     Np = -(-N // NB) * NB
 
     def padr(a, fill):

@@ -116,6 +116,32 @@ class AEAM(PairStyle):
         self.frho_rdrho = as_d(frho_rdrho)
         self.cut = as_d(t.cut)
         self.typemap = jnp.asarray(self.typemap_np)
+        # flat [T*(nr+1), 7] spline views + static per-table scalars so
+        # per-edge lookups are single row gathers (2-index fancy gathers
+        # and tiny-source element gathers hit TPU scalar paths)
+        self.rhor_flat = self.rhor_spline.reshape(-1, 7)
+        self.rhor_stride = nrmax + 1
+        self.rhor_rdr_np = rhor_rdr
+        self.rhor_nr_np = rhor_nr
+        self.z2r_flat = self.z2r_spline.reshape(-1, 7)
+        self.z2r_map_np = z2r_map
+        self.z2r_rdr_np = z2r_rdr
+        self.z2r_nr_np = z2r_nr
+        self.cut_np = np.asarray(t.cut, np.float64)
+        self._ang_sel = None
+
+    def prepare(self, types_np: np.ndarray) -> None:
+        """Precompute the angular-center index set (static per system).
+
+        The angular density is O(K^2) per center but only angular elements
+        (e.g. 0.75% Si in sample.in) need it — the reference's k-loop runs
+        only for angular centers (pair_aeam.cpp:208).  Compacting to the
+        angular subset makes the [Na, K, K] tensor ~N/Na times smaller."""
+        el = self.typemap_np[np.asarray(types_np)]
+        sel = np.nonzero(el >= self.nnonangular)[0].astype(np.int32)
+        # compaction pays only when angular atoms are a minority
+        self._ang_sel = (jnp.asarray(sel)
+                         if sel.size < 0.5 * len(types_np) else None)
 
     @classmethod
     def from_file(cls, path: str, elements, dtype=jnp.float64):
@@ -153,27 +179,50 @@ class AEAM(PairStyle):
         return {"main": cut}
 
     # ------------------------------------------------------------------
-    def _rhor(self, ei, ej, r):
-        """Density-contribution spline f_ij(r) (value; autodiff = f')."""
-        tab = ei * self.nel + ej
-        p_raw = r * self.rhor_rdr[tab] + 1.0
-        n = self.rhor_nr[tab]
+    def _sel_tab(self, tab, values):
+        """Per-edge scalar from static per-table values via a select chain
+        (a gather from a [T]-sized source costs ~25 ms at 5M edges)."""
+        out = jnp.zeros(tab.shape, self.dtype) + float(values[0])
+        for t_ in range(1, len(values)):
+            out = jnp.where(tab == t_, float(values[t_]), out)
+        return out
+
+    def _jel(self, nlist, el_all):
+        """Per-edge neighbor element from the rebuild-time jtype cache."""
+        if nlist.jtype is None:
+            return el_all[nlist.idx]
+        out = jnp.zeros(nlist.jtype.shape, jnp.int32)
+        for t_ in range(1, len(self.typemap_np)):
+            out = jnp.where(nlist.jtype == t_, int(self.typemap_np[t_]), out)
+        return out
+
+    def _spline_eval(self, flat, stride, tab, rdr_np, nr_np, arg):
+        """Cubic spline value at arg: one [.., 7] row gather per point."""
+        p_raw = arg * self._sel_tab(tab, rdr_np) + 1.0
+        n = self._sel_tab(tab, nr_np).astype(jnp.int32)
         m = jnp.minimum(jnp.floor(p_raw).astype(jnp.int32), n - 1)
         p = p_raw - m
         p = p + jax.lax.stop_gradient(jnp.minimum(p, 1.0) - p)
-        c = self.rhor_spline[tab, m]
+        c = flat[tab * stride + m]                       # row gather
         return ((c[..., 3] * p + c[..., 4]) * p + c[..., 5]) * p + c[..., 6]
+
+    def _rhor(self, ei, ej, r):
+        """Density-contribution spline f_ij(r) (value; autodiff = f')."""
+        tab = jnp.broadcast_to(ei * self.nel + ej, r.shape)
+        return self._spline_eval(self.rhor_flat, self.rhor_stride, tab,
+                                 self.rhor_rdr_np, self.rhor_nr_np, r)
 
     def _phi(self, ei, ej, r):
         """Pair potential phi(r) from the z2r tables (stored unscaled)."""
-        tab = self.z2r_map[ei, ej]
-        p_raw = r * self.z2r_rdr[tab] + 1.0
-        n = self.z2r_nr[tab]
-        m = jnp.minimum(jnp.floor(p_raw).astype(jnp.int32), n - 1)
-        p = p_raw - m
-        p = p + jax.lax.stop_gradient(jnp.minimum(p, 1.0) - p)
-        c = self.z2r_spline[tab, m]
-        return ((c[..., 3] * p + c[..., 4]) * p + c[..., 5]) * p + c[..., 6]
+        pairtab = jnp.broadcast_to(ei * self.nel + ej, r.shape)
+        tab = self._sel_tab(pairtab, self.z2r_map_np.reshape(-1)
+                            ).astype(jnp.int32)
+        return self._spline_eval(self.z2r_flat, self.rhor_stride, tab,
+                                 self.z2r_rdr_np, self.z2r_nr_np, r)
+
+    def _cut_ij(self, ei, ej, shape):
+        pairtab = jnp.broadcast_to(ei * self.nel + ej, shape)
+        return self._sel_tab(pairtab, self.cut_np.reshape(-1))
 
     def _embed(self, ei, p_arg):
         """Embedding F(p) per element (clamp m to [1, n-1], cpp:286)."""
@@ -185,48 +234,74 @@ class AEAM(PairStyle):
         return ((c[..., 3] * p + c[..., 4]) * p + c[..., 5]) * p + c[..., 6]
 
     # ------------------------------------------------------------------
+    def _rho_field(self, x, strain, el_own, el_all, ghosts, main, h):
+        dx, dy, dz, rsq, mask = edge_components(x, ghosts, main, h, strain,
+                                                row_gather=True)
+        return self._rho_core(dx, dy, dz, rsq, mask, el_own, el_all, main)
+
+    def _rho_core(self, dx, dy, dz, rsq, mask, el_own, el_all, main):
+        """Density rho_i plus the per-edge quantities shared by both tally
+        paths.  The O(K^2) angular density runs over the compacted angular
+        subset when prepare() found one (pair_aeam.cpp:208 — the k-loop
+        only runs for angular centers)."""
+        r = jnp.sqrt(rsq)
+        ei = el_own[:, None]
+        ej = self._jel(main, el_all)
+
+        ang_i = ei >= self.nnonangular                 # [N,1]
+        ang_j = ej >= self.nnonangular                 # [N,K]
+        cut_ij = self._cut_ij(ei, ej, r.shape)
+
+        # density leg gating: cut - 1.5 when both endpoints angular
+        # (pair_aeam.cpp:187-192, 218-223); note r > cut excludes (strict)
+        leg_cut = cut_ij - jnp.where(ang_i & ang_j, CUTDEC, 0.0)
+        in_leg = mask & (r <= leg_cut)
+        fw = jnp.where(in_leg, self._rhor(ei, ej, r), 0.0)
+        rho_lin = jnp.sum(fw, axis=1)
+        ang_center = el_own >= self.nnonangular        # [N]
+        K = main.capacity
+        not_diag = ~jnp.eye(K, dtype=bool)[None]
+
+        def rho_ang_block(fwB, dxB, dyB, dzB, rB):
+            # sum_{j<k} 2 f f (cos+1/3)^2 == ordered sum over j != k
+            dots = (dxB[:, :, None] * dxB[:, None, :]
+                    + dyB[:, :, None] * dyB[:, None, :]
+                    + dzB[:, :, None] * dzB[:, None, :])
+            cs = dots / (rB[:, :, None] * rB[:, None, :])
+            ftet = (cs + 1.0 / 3.0) ** 2
+            pw = fwB[:, :, None] * fwB[:, None, :] \
+                * jnp.where(not_diag, 1.0, 0.0)
+            return jnp.sum(pw * ftet, axis=(1, 2))
+
+        sel = self._ang_sel
+        if sel is not None and sel.shape[0] == 0:
+            rho = rho_lin
+        elif sel is not None:
+            rho_ang_s = rho_ang_block(fw[sel], dx[sel], dy[sel], dz[sel],
+                                      r[sel])
+            rho = rho_lin.at[sel].set(rho_ang_s)
+        else:
+            rho = jnp.where(ang_center,
+                            rho_ang_block(fw, dx, dy, dz, r), rho_lin)
+        return rho, ang_center, r, mask, ei, ej, cut_ij
+
     def energy(self, x, strain, types, nbr: NeighborData, h,
                center_mask=None):
         ghosts = nbr.ghosts
         main = nbr.lists["main"]
         el_own = self.typemap[types]                   # [N]
         el_all = self.typemap[ghosts.all_types(types)]
+        rho_etc = self._rho_field(x, strain, el_own, el_all, ghosts, main, h)
+        return self._energy_from_rho(rho_etc, el_own, center_mask)
 
-        dx, dy, dz, rsq, mask = edge_components(x, ghosts, main, h, strain)
-        r = jnp.sqrt(rsq)
-        ei = el_own[:, None]
-        ej = el_all[main.idx]
+    def _energy_core(self, dx, dy, dz, rsq, mask, el_own, el_all, main):
+        """Scalar energy from the per-edge displacement set (used by the
+        mirror-edge force path: grad w.r.t. (dx, dy, dz))."""
+        rho_etc = self._rho_core(dx, dy, dz, rsq, mask, el_own, el_all, main)
+        return self._energy_from_rho(rho_etc, el_own, None)
 
-        ang_i = ei >= self.nnonangular                 # [N,1]
-        ang_j = ej >= self.nnonangular                 # [N,K]
-        cut_ij = self.cut[ei, ej]
-
-        # density leg gating: cut - 1.5 when both endpoints angular
-        # (pair_aeam.cpp:187-192, 218-223); note r > cut excludes (strict)
-        leg_cut = cut_ij - jnp.where(ang_i & ang_j, CUTDEC, 0.0)
-        in_leg = mask & (r <= leg_cut)
-
-        f_ij = self._rhor(ei, ej, r)
-        fw = jnp.where(in_leg, f_ij, 0.0)              # gated contribution
-
-        # non-angular density: sum_j f_ij
-        rho_lin = jnp.sum(fw, axis=1)
-
-        # angular density: sum_{j<k} 2 f f (cos+1/3)^2
-        #   == sum over ordered j != k of f f (cos+1/3)^2
-        dots = (dx[:, :, None] * dx[:, None, :]
-                + dy[:, :, None] * dy[:, None, :]
-                + dz[:, :, None] * dz[:, None, :])
-        cs = dots / (r[:, :, None] * r[:, None, :])
-        ftet = (cs + 1.0 / 3.0) ** 2
-        K = main.capacity
-        not_diag = ~jnp.eye(K, dtype=bool)[None]
-        pair_w = fw[:, :, None] * fw[:, None, :] * jnp.where(not_diag, 1.0, 0.0)
-        rho_ang = jnp.sum(pair_w * ftet, axis=(1, 2))
-
-        ang_center = el_own >= self.nnonangular        # [N]
-        rho = jnp.where(ang_center, rho_ang, rho_lin)
-
+    def _energy_from_rho(self, rho_etc, el_own, center_mask):
+        rho, ang_center, r, mask, ei, ej, cut_ij = rho_etc
         # embedding argument rho^n with the minrho force guard
         # (pair_aeam.cpp:329-332): value uses rho^n always, gradient is cut
         # below minrho — double-where keeps sqrt'(0) out of the backward pass
@@ -251,6 +326,36 @@ class AEAM(PairStyle):
 
         return e_embed + e_pair
 
+    #: device rebuild provides the mirror-edge table for this tier
+    mirror_tiers = ("main",)
+
+    def forces(self, x, types, nbr: NeighborData, h):
+        """Scatter-free forces via the mirror-edge bijection when the
+        rebuild provided a mirror table (the autodiff-transpose scatter of
+        the edge gather costs ~15x more on TPU); plain -grad(E) otherwise."""
+        main = nbr.lists["main"]
+        if main.mirror is None:
+            return super().forces(x, types, nbr, h)
+        from ..neighbor.neighbor import mirror_combine
+        ghosts = nbr.ghosts
+        el_own = self.typemap[types]
+        el_all = self.typemap[ghosts.all_types(types)]
+        x_all = ghosts.all_positions(x, h)
+        D = x_all[main.idx]                           # [N,K,3] row gather
+        dx = D[..., 0] - x[:, 0][:, None]
+        dy = D[..., 1] - x[:, 1][:, None]
+        dz = D[..., 2] - x[:, 2][:, None]
+
+        def e_of_d(dx_, dy_, dz_):
+            rsq = dx_ * dx_ + dy_ * dy_ + dz_ * dz_
+            rsq = jnp.where(main.mask, rsq, 1.0)
+            return self._energy_core(dx_, dy_, dz_, rsq, main.mask,
+                                     el_own, el_all, main)
+
+        _, vjp = jax.vjp(e_of_d, dx, dy, dz)
+        gx, gy, gz = vjp(jnp.ones((), x.dtype))
+        return mirror_combine(gx, gy, gz, main)
+
     def energy_peratom(self, x, types, nbr: NeighborData, h):
         """Per-atom energies exactly as the reference tallies them:
         embedding F to each center with the 1/3 factor for angular atoms
@@ -261,28 +366,8 @@ class AEAM(PairStyle):
         el_own = self.typemap[types]
         el_all = self.typemap[ghosts.all_types(types)]
         z = jnp.zeros((3, 3), x.dtype)
-        dx, dy, dz, rsq, mask = edge_components(x, ghosts, main, h, z)
-        r = jnp.sqrt(rsq)
-        ei = el_own[:, None]
-        ej = el_all[main.idx]
-        ang_i = ei >= self.nnonangular
-        ang_j = ej >= self.nnonangular
-        cut_ij = self.cut[ei, ej]
-        leg_cut = cut_ij - jnp.where(ang_i & ang_j, CUTDEC, 0.0)
-        in_leg = mask & (r <= leg_cut)
-        fw = jnp.where(in_leg, self._rhor(ei, ej, r), 0.0)
-        rho_lin = jnp.sum(fw, axis=1)
-        dots = (dx[:, :, None] * dx[:, None, :]
-                + dy[:, :, None] * dy[:, None, :]
-                + dz[:, :, None] * dz[:, None, :])
-        cs = dots / (r[:, :, None] * r[:, None, :])
-        ftet = (cs + 1.0 / 3.0) ** 2
-        K = main.capacity
-        nd = ~jnp.eye(K, dtype=bool)[None]
-        rho_ang = jnp.sum(fw[:, :, None] * fw[:, None, :] * ftet
-                          * jnp.where(nd, 1.0, 0.0), axis=(1, 2))
-        ang_center = el_own >= self.nnonangular
-        rho = jnp.where(ang_center, rho_ang, rho_lin)
+        rho, ang_center, r, mask, ei, ej, cut_ij = self._rho_field(
+            x, z, el_own, el_all, ghosts, main, h)
         rho_pow = jnp.where(ang_center, jnp.sqrt(jnp.maximum(rho, 0.0)),
                             rho)
         p_arg = rho_pow * self.frho_rdrho[el_own] + 1.0

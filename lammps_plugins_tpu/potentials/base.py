@@ -37,6 +37,14 @@ class PairStyle:
         """name -> cutoff (scalar or [T+1,T+1] per-type-pair matrix)."""
         raise NotImplementedError
 
+    def prepare(self, types_np: np.ndarray) -> None:
+        """Optional host-side setup from the system's (static) atom types.
+
+        Called once by the Engine before the first evaluation — the
+        analogue of Pair::init_style seeing the atom population.  Styles
+        use it to precompute type-derived index sets (e.g. AEAM's angular
+        centers) that would otherwise need dynamic shapes under jit."""
+
     def energy(self, x: jnp.ndarray, strain: jnp.ndarray,
                types: jnp.ndarray, nbr: NeighborData,
                h: jnp.ndarray, center_mask=None) -> jnp.ndarray:

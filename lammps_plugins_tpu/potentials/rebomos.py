@@ -419,13 +419,8 @@ class REBOMoS(PairStyle):
 
             _, vjp = jax.vjp(e_of_d, dx, dy, dz)
             gx, gy, gz = vjp(jnp.ones((), x.dtype))
-        gflat = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-        gmir = gflat[jnp.maximum(rebo.mirror, 0)]     # [N,K,3] row gather
-        gmir = jnp.where((rebo.mask & (rebo.mirror >= 0))[..., None],
-                         gmir, 0.0)
-        fc = jnp.stack([jnp.sum(gx, 1), jnp.sum(gy, 1), jnp.sum(gz, 1)],
-                       axis=-1)
-        return fc - jnp.sum(gmir, axis=1)
+        from ..neighbor.neighbor import mirror_combine
+        return mirror_combine(gx, gy, gz, rebo)
 
     def _fpair_lj(self, ei, ej, r, rsq):
         """-(dV/dr)/r for the switched LJ (pair_rebomos.cpp:518-543):

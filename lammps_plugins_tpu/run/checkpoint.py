@@ -41,7 +41,8 @@ def load_state(path: str, dtype=jnp.float64) -> State:
     z = np.load(path, allow_pickle=False)
     box = Box(h=jnp.asarray(z["box_h"], dtype),
               lo=jnp.asarray(z["box_lo"], dtype),
-              periodic=tuple(bool(p) for p in z["box_periodic"]))
+              periodic=tuple(bool(p) for p in z["box_periodic"]),
+              h64=Box._master(z["box_h"]), lo64=Box._master(z["box_lo"]))
     extras: dict = {}
     for name in z.files:
         if not name.startswith("extras/"):

@@ -73,6 +73,7 @@ class Engine:
         self._maxdisp_is_device = False
         self.timers = Timers()
 
+        pair.prepare(np.asarray(state.type))
         for fix in self.fixes:
             self.state = fix.setup(self.state, self.ctx)
 
@@ -185,10 +186,13 @@ class Engine:
             self._plan_tightened = True
             want_k = {k.split(":", 2)[2]: int(v) for k, v in flags_np.items()
                       if k.startswith("count:k:")}
-            loose = any(dict(self._plan.k_caps)[name] > 1.4 * max(v, 8)
+            loose = any(dict(self._plan.k_caps)[name] > 1.6 * max(v, 8)
                         for name, v in want_k.items())
             if loose:
-                self._resize_plan(flags_np, grow=1.15)
+                # 1.3 not 1.15: hot systems (e.g. 863 K sample.in) grow
+                # kmax after equilibration and every overflow re-size is a
+                # full retrace
+                self._resize_plan(flags_np, grow=1.3)
                 return self._rebuild_on_device(_retry)
         self.state = self.state.replace(x=xw, image=image)
         self.nbr = nbr

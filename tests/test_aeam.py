@@ -135,3 +135,43 @@ def test_nve_energy_conservation(aeam_pair):
     for r in rows[1:]:
         drift = abs((r["pe"] + r["ke"]) - e0)
         assert drift < 2e-3 * len(pos) / 100, (r["step"], drift)
+
+
+def test_angular_compaction_exact(aeam_pair, aeam_file):
+    """prepare() compaction must not change energies or forces at all."""
+    pos, types, box = _alsi_system(kick=0.05, seed=3)
+    pair_full = AEAM.from_file(aeam_file, ["Al", "Si"])
+    state = State.create(x=jnp.asarray(pos), type=types, box=box,
+                         mass=pair_full.masses)
+    nbr = build_neighbor_data(pos, types, box,
+                              pair_full.neighbor_requests(), skin=1.0)
+    pair_cmp = AEAM.from_file(aeam_file, ["Al", "Si"])
+    pair_cmp.prepare(np.asarray(state.type))
+    assert pair_cmp._ang_sel is not None and pair_cmp._ang_sel.shape[0] == 2
+    h = state.box.h
+    e1, f1, w1 = pair_full.energy_force_virial(state.x, state.type, nbr, h)
+    e2, f2, w2 = pair_cmp.energy_force_virial(state.x, state.type, nbr, h)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-9)
+    ea1 = pair_full.energy_peratom(state.x, state.type, nbr, h)
+    ea2 = pair_cmp.energy_peratom(state.x, state.type, nbr, h)
+    np.testing.assert_allclose(np.asarray(ea1), np.asarray(ea2), atol=1e-11)
+
+
+def test_mirror_forces_match_autodiff(aeam_file):
+    """Mirror-edge force path (device rebuild) vs plain -grad(E)."""
+    from lammps_plugins_tpu.fixes.velocity import velocity_create
+    pos, types, box = _alsi_system(nc=3, kick=0.06, seed=9)
+    pair = AEAM.from_file(aeam_file, ["Al", "Si"])
+    state = State.create(x=jnp.asarray(pos), type=types, box=box,
+                         mass=pair.masses)
+    eng = Engine(state, pair, [FixNVE()], units.METAL, device_rebuild=True)
+    eng.rebuild_neighbors()
+    nbr, st = eng.nbr, eng.state
+    assert nbr.lists["main"].mirror is not None
+    h = st.box.h
+    f_mir = pair.forces(st.x, st.type, nbr, h)
+    f_ad = -jax.grad(lambda x_: pair.energy(x_, None, st.type, nbr, h))(st.x)
+    np.testing.assert_allclose(np.asarray(f_mir), np.asarray(f_ad),
+                               atol=1e-9)

@@ -275,6 +275,24 @@ class Engine:
         self.state = self.state.replace(f=force)
         return pe, W
 
+    def memory_usage(self) -> dict:
+        """Device-array bytes by subsystem — the analogue of LAMMPS's
+        per-rank 'Memory usage' line + Pair::memory_usage
+        (pair_aeam.cpp:996-1002, pair_rebomos.cpp:1113-1124)."""
+
+        def tree_bytes(tree):
+            return sum(a.size * a.dtype.itemsize
+                       for a in jax.tree_util.tree_leaves(tree)
+                       if hasattr(a, "dtype"))
+
+        out = {"state": tree_bytes(self.state),
+               "neighbor": tree_bytes(self.nbr) if self.nbr else 0,
+               "pair_tables": tree_bytes(
+                   {k: v for k, v in vars(self.pair).items()
+                    if hasattr(v, "dtype")})}
+        out["total_mb"] = sum(v for k, v in out.items()) / 2 ** 20
+        return out
+
     def _thermo(self, state, pe, W):
         if self._thermo_jit is None:
             def th(state, pe, W):

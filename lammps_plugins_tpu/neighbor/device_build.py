@@ -121,9 +121,13 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
                  if cell_tiers else list_cut)
 
     widths = box.perpendicular_widths_np()
-    margins = tuple(float((list_cut + skin) / widths[d])
+    # ghost margin = list_cut exactly: candidates (and the cell-form
+    # tier's reach) only need build-time distance <= max_cut + skin;
+    # the old extra +skin inflated ghosts ~15% at 98k atoms
+    gmargin = list_cut + 1e-3
+    margins = tuple(float(gmargin / widths[d])
                     if box.periodic[d] else 0.0 for d in range(3))
-    nrep = [int(np.ceil((list_cut + skin) / widths[d]))
+    nrep = [int(np.ceil(gmargin / widths[d]))
             if box.periodic[d] else 0 for d in range(3)]
     shifts = tuple((sx, sy, sz)
                    for sx in range(-nrep[0], nrep[0] + 1)
@@ -183,7 +187,10 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         k_caps=tuple(sorted((k, pad8(v)) for k, v in k_counts.items()
                             if k not in cell_tiers)),
         cell_dims=cell_dims, cell_size=cell_size,
-        cell_capacity=pad8(max(max_cell_occupancy, 4)),
+        # tighter slack for the coarse cells: the Pallas LJ kernel's work
+        # scales with C (sublane count); overflow recovery handles misses
+        cell_capacity=max(8, -(-int(max(max_cell_occupancy, 4) * 1.08)
+                               // 8) * 8),
         cell_tiers=tuple(sorted(cell_tiers)),
         list_cut=list_cut, skin=skin,
         mirror_tiers=tuple(sorted(mirror_tiers)),
@@ -212,7 +219,7 @@ def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
     vol = abs(np.linalg.det(h))
     rho = natoms / vol
     widths = box.perpendicular_widths_np()
-    margins = [(list_cut + skin) / widths[d] if box.periodic[d] else 0.0
+    margins = [(list_cut + 1e-3) / widths[d] if box.periodic[d] else 0.0
                for d in range(3)]
 
     expanded = vol * np.prod([1 + 2 * m for m in margins])
@@ -331,10 +338,26 @@ def _mirror_table(idx, mask, owner, ghost_valid, sidx_ghost, inv_sidx, n, K):
     tgt = jnp.full((n, K), -1, jnp.int32)
     for s in range(S1):
         tgt = jnp.where(inv_sj == s, ginv[:n, s][:, None], tgt)
-    idxro = idx[o]                                     # [N, K, K] row gather
-    eq = (idxro == tgt[:, :, None]) & (tgt[:, :, None] >= 0)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
-    colp = jnp.min(jnp.where(eq, iota_k, K), axis=2)
+    if n * K * K <= 3 * 10 ** 8:
+        idxro = idx[o]                                 # [N, K, K] row gather
+        eq = (idxro == tgt[:, :, None]) & (tgt[:, :, None] >= 0)
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+        colp = jnp.min(jnp.where(eq, iota_k, K), axis=2)
+    else:
+        # large systems: the [N, K, K] compare would need N*K*K*4 bytes
+        # (22 GB at 783k atoms, K=56) — scan one edge slot at a time
+        iota1k = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+        def one_col(_, xs):
+            o_k, tgt_k = xs                            # [N], [N]
+            rows = idx[o_k]                            # [N, K] row gather
+            eqk = (rows == tgt_k[:, None]) & (tgt_k[:, None] >= 0)
+            return None, jnp.min(jnp.where(eqk, iota1k, K), axis=1)
+
+        _, cols = jax.lax.scan(one_col, None,
+                               (jnp.swapaxes(o, 0, 1),
+                                jnp.swapaxes(tgt, 0, 1)))
+        colp = jnp.swapaxes(cols, 0, 1)
     found = colp < K
     return jnp.where(mask & found, o * K + colp, -1).astype(jnp.int32)
 
@@ -412,61 +435,94 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
         # Direct by-atom-id element gathers of the [n, W] candidates get
         # flattened to a ~17 ns/elem scalar path by XLA (~2.7 s); a packed
         # [.., 5]-column row gather tile-pads 8.5x and OOMs HBM.
-        cand = dense_f[ncid].reshape(n, W)           # row gather: n*27 idx
         tf = t_pad[dense_f]                          # [ncf+2, Cf]
-        cand_t = tf[ncid].reshape(n, W)
-        rsq = jnp.zeros((n, W), dtype)
-        for a in range(3):
-            plane = x_pad[:, a][dense_f]             # [ncf+2, Cf]
-            da = plane[ncid].reshape(n, W) - xw[:, a][:, None]
-            rsq = rsq + da * da
-        valid = (cand < m_all) & (cand != jnp.arange(n)[:, None])
-        ti = types[:, None]
+        planes = [x_pad[:, a][dense_f] for a in range(3)]
 
         # ghost shift slots for the mirror-edge table (slot 0 = identity)
         sidx_ghost = (sel_safe // n).astype(jnp.int32) + 1
         sidx_ghost = jnp.where(ghost_valid, sidx_ghost, 0)
         inv_sidx = _inverse_shift_perm(plan.shifts)
-
         use_select_k = _select_k_mode()
-        rowbase = jnp.arange(n, dtype=jnp.int32)[:, None] * W
-        for name, K in plan.k_caps:
-            # per-type-pair cutoff as a select chain: the 2D fancy-index
-            # gather cut_mats[ti, cand_t] costs ~800 ms at 63M indices on
-            # TPU; the chain is pure vector compare/selects (~2 ms)
-            cm = cut_mats[name]
-            T = cm.shape[0] - 1
-            cut = jnp.zeros(cand_t.shape, dtype)
-            for a in range(1, T + 1):
-                row = jnp.zeros(cand_t.shape, dtype)
-                for b in range(1, T + 1):
-                    row = jnp.where(cand_t == b, cm[a, b], row)
-                cut = jnp.where(ti == a, row, cut)
-            cut = cut + plan.skin
-            m_tier = valid & (rsq < cut * cut)
-            key = jnp.where(m_tier, rsq, BIG)
-            if use_select_k:
-                from ..ops.select_k_pallas import select_k
-                Wp = -(-W // 128) * 128
-                keyp = jnp.pad(key, ((0, 0), (0, Wp - W)),
-                               constant_values=BIG)
-                # id + type ride as in-kernel payloads (exact in f32:
-                # ids < 2^24); post-hoc gathers of the 63M-element
-                # candidate arrays cost ~55 ms each
-                padw = lambda a: jnp.pad(a, ((0, 0), (0, Wp - W)))
-                pos, idf, jtf = select_k(
-                    keyp, K, interpret=use_select_k == "interpret",
-                    payloads=(padw(cand), padw(cand_t)))
-                mask = pos < W
-                idx = jnp.where(mask, idf.astype(jnp.int32), 0)
-                jtype = jnp.where(mask, jtf.astype(jnp.int32), 0)
-            else:
-                neg_vals, pos = jax.lax.top_k(-key, K)
-                mask = neg_vals > -BIG
-                idx = cand.reshape(-1)[rowbase + pos]
-                jtype = cand_t.reshape(-1)[rowbase + pos]
-                idx = jnp.where(mask, idx, 0).astype(jnp.int32)
-                jtype = jnp.where(mask, jtype, 0).astype(jnp.int32)
+
+        # chunk the candidate pipeline over atom blocks: the [chunk, W]
+        # working set is ~6 arrays wide, which at 1M atoms and W=648 would
+        # otherwise peak over HBM capacity
+        CH = n if n <= 131072 else 65536
+        nch = -(-n // CH)
+        npr = nch * CH
+
+        def padr(a, fill):
+            pad = [(0, npr - n)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, pad, constant_values=fill)
+
+        xs = (padr(ncid, ncf + 1).reshape(nch, CH, 27),
+              padr(xw, 1e7).reshape(nch, CH, 3),
+              padr(types, 0).reshape(nch, CH),
+              padr(jnp.arange(n, dtype=jnp.int32), m_all).reshape(nch, CH))
+
+        def chunk_body(args):
+            ncid_c, xw_c, t_c, rid_c = args
+            cand = dense_f[ncid_c].reshape(CH, W)
+            cand_t = tf[ncid_c].reshape(CH, W)
+            rsq = jnp.zeros((CH, W), dtype)
+            for a in range(3):
+                da = planes[a][ncid_c].reshape(CH, W) - xw_c[:, a][:, None]
+                rsq = rsq + da * da
+            valid = (cand < m_all) & (cand != rid_c[:, None])
+            ti = t_c[:, None]
+            out = []
+            for name, K in plan.k_caps:
+                # per-type-pair cutoff as a select chain: the 2D fancy
+                # gather cut_mats[ti, cand_t] costs ~800 ms at 63M indices
+                cm = cut_mats[name]
+                T = cm.shape[0] - 1
+                cut = jnp.zeros(cand_t.shape, dtype)
+                for a in range(1, T + 1):
+                    row = jnp.zeros(cand_t.shape, dtype)
+                    for b in range(1, T + 1):
+                        row = jnp.where(cand_t == b, cm[a, b], row)
+                    cut = jnp.where(ti == a, row, cut)
+                cut = cut + plan.skin
+                m_tier = valid & (rsq < cut * cut)
+                key = jnp.where(m_tier, rsq, BIG)
+                if use_select_k:
+                    from ..ops.select_k_pallas import select_k
+                    Wp = -(-W // 128) * 128
+                    padw = lambda a, f: jnp.pad(
+                        a, ((0, 0), (0, Wp - W)), constant_values=f)
+                    # id + type ride as in-kernel payloads (exact in f32:
+                    # ids < 2^24); post-hoc gathers of the candidate
+                    # arrays cost ~55 ms each
+                    pos, idf, jtf = select_k(
+                        padw(key, BIG), K,
+                        interpret=use_select_k == "interpret",
+                        payloads=(padw(cand, 0), padw(cand_t, 0)))
+                    mask = pos < W
+                    idx = jnp.where(mask, idf.astype(jnp.int32), 0)
+                    jtype = jnp.where(mask, jtf.astype(jnp.int32), 0)
+                else:
+                    neg_vals, pos = jax.lax.top_k(-key, K)
+                    mask = neg_vals > -BIG
+                    rowb = jnp.arange(CH, dtype=jnp.int32)[:, None] * W
+                    idx = cand.reshape(-1)[rowb + pos]
+                    jtype = cand_t.reshape(-1)[rowb + pos]
+                    idx = jnp.where(mask, idx, 0).astype(jnp.int32)
+                    jtype = jnp.where(mask, jtype, 0).astype(jnp.int32)
+                kmax_c = jnp.max(jnp.sum(m_tier, axis=1))
+                out.append((idx, jtype, mask, kmax_c))
+            return tuple(out)
+
+        if nch == 1:
+            tier_outs = [tuple(v[None] for v in t)
+                         for t in chunk_body(tuple(v[0] for v in xs))]
+        else:
+            tier_outs = jax.lax.map(chunk_body, xs)
+
+        for t_i, (name, K) in enumerate(plan.k_caps):
+            idx_s, jt_s, mask_s, kmax_s = tier_outs[t_i]
+            idx = idx_s.reshape(npr, K)[:n]
+            jtype = jt_s.reshape(npr, K)[:n]
+            mask = mask_s.reshape(npr, K)[:n]
             mirror = (_mirror_table(idx, mask, ghosts.owner, ghost_valid,
                                     sidx_ghost, inv_sidx, n, K)
                       if name in plan.mirror_tiers else None)
@@ -477,7 +533,7 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
             # indices stay vectorized.  Keep row-major lists.
             lists[name] = NeighborList(idx=idx, mask=mask, jtype=jtype,
                                        mirror=mirror)
-            kmax = jnp.max(jnp.sum(m_tier, axis=1))
+            kmax = jnp.max(kmax_s)
             flags[f"k_overflow:{name}"] = kmax > K
             flags[f"count:k:{name}"] = kmax
 

@@ -37,6 +37,10 @@ def main():
     ny = int(os.environ.get("BENCH_NY", 48))
     nz = int(os.environ.get("BENCH_NZ", 10))
     steps = int(os.environ.get("BENCH_STEPS", 50))
+    # solid-phase default: thermal displacements saturate well under
+    # skin/2, so rebuilds stay rare and the smaller K (24 vs 32) and
+    # cell size cut the step ~13%
+    skin = float(os.environ.get("BENCH_SKIN", 1.0))
     reps = int(os.environ.get("BENCH_REPS", 3))
 
     import numpy as np
@@ -82,7 +86,8 @@ def main():
     from lammps_plugins_tpu.fixes.velocity import velocity_create
     state = velocity_create(state, units.METAL, 300.0, seed=12345)
 
-    eng = Engine(state, pair, [FixNVE()], units.METAL, check_every=steps)
+    eng = Engine(state, pair, [FixNVE()], units.METAL,
+                 check_every=steps, skin=skin)
     t0 = time.time()
     eng.rebuild_neighbors()
     print(f"# neighbor build: {time.time()-t0:.1f}s, "

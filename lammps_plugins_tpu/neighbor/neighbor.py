@@ -87,33 +87,24 @@ class NeighborList:
     #: (owner(j), image-of-i) — the newton-pair bijection).  Lets force
     #: accumulation replace the per-edge scatter-add with a row gather.
     mirror: jnp.ndarray | None = None  # [N, K] int32
-    #: transposed copies (idxT, jtypeT, maskT, mirrorT) each [K, N], with
-    #: mirrorT holding flat indices into the TRANSPOSED [K*N] edge space —
-    #: lets the Pallas force path (slots on sublanes, atoms on lanes) run
-    #: with zero per-step transposes
-    tpose: "tuple | None" = None
 
     def tree_flatten(self):
         children = [self.idx, self.mask]
-        flags = (self.jtype is not None, self.mirror is not None,
-                 self.tpose is not None)
+        flags = (self.jtype is not None, self.mirror is not None)
         if flags[0]:
             children.append(self.jtype)
         if flags[1]:
             children.append(self.mirror)
-        if flags[2]:
-            children.append(self.tpose)
         return tuple(children), flags
 
     @classmethod
     def tree_unflatten(cls, flags, children):
-        has_jtype, has_mirror, has_tpose = (flags + (False,))[:3]
+        has_jtype, has_mirror = flags[:2]
         it = iter(children)
         idx, mask = next(it), next(it)
         jtype = next(it) if has_jtype else None
         mirror = next(it) if has_mirror else None
-        tpose = next(it) if has_tpose else None
-        return cls(idx, mask, jtype, mirror, tpose)
+        return cls(idx, mask, jtype, mirror)
 
     @property
     def capacity(self) -> int:

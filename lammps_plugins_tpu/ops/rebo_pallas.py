@@ -227,50 +227,6 @@ def _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT, *, consts_key, interpret):
     )(dxT, dyT, dzT, jelT, mskT, eiT)
 
 
-def rebo_forces_transposed(x, x_all, idxT, jelT, maskT, mirrorT, el_own,
-                           consts: dict, interpret: bool = False):
-    """Full REBO force evaluation in transposed [K, N] layout.
-
-    Consumes the rebuild-time transposed list (NeighborList.tpose): the
-    per-step path is three 2-D element gathers for the edge displacements,
-    the Pallas cotangent kernel, and the transposed mirror combine — zero
-    transposes, zero [.., 3]-minor tensors until the final [N, 3] stack.
-
-    Args: x [N,3] owned positions; x_all [N+Mg,3]; idxT/jelT/maskT/mirrorT
-    [K, N] (jelT float element codes, maskT bool, mirrorT flat transposed
-    mirror slots, -1 = none); el_own [N] center element codes.
-    """
-    K, N = idxT.shape
-    Np = -(-N // 128) * 128
-    dtype = x.dtype
-
-    dxT = x_all[:, 0][idxT] - x[:, 0][None, :]
-    dyT = x_all[:, 1][idxT] - x[:, 1][None, :]
-    dzT = x_all[:, 2][idxT] - x[:, 2][None, :]
-    mf = maskT.astype(dtype)
-
-    def padc(a):
-        return jnp.pad(a.astype(dtype), ((0, 0), (0, Np - N)))
-
-    eiT = jnp.pad(el_own.astype(dtype).reshape(1, N),
-                  ((0, 7), (0, Np - N)))
-    consts_key = tuple(sorted(consts.items()))
-    gx, gy, gz = _rebo_call(padc(dxT), padc(dyT), padc(dzT), padc(jelT),
-                            padc(mf), eiT, consts_key=consts_key,
-                            interpret=interpret)
-    gx, gy, gz = gx[:, :N], gy[:, :N], gz[:, :N]
-
-    mir_ok = mirrorT >= 0
-    mirs = jnp.where(mir_ok, mirrorT, 0)
-    gmask = maskT & mir_ok
-
-    def combine(g):
-        gm = jnp.where(gmask, g.reshape(-1)[mirs], 0.0)
-        return jnp.sum(g, axis=0) - jnp.sum(gm, axis=0)        # [N]
-
-    return jnp.stack([combine(gx), combine(gy), combine(gz)], axis=1)
-
-
 def rebo_edge_cotangents(dx, dy, dz, jel, mask, el_own,
                          interpret: bool = False, consts: dict = None):
     """G_e = dE_REBO/dd_e for every edge of the [N, K] REBO list.

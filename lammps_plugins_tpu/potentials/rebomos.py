@@ -387,18 +387,6 @@ class REBOMoS(PairStyle):
         x_all = ghosts.all_positions(x, h)
         use_pallas = (self._use_pallas(x) if force_pallas is None
                       else force_pallas)
-        if use_pallas and rebo.tpose is not None:
-            from ..ops.rebo_pallas import rebo_forces_transposed
-            idxT, jtypeT, maskT, mirrorT = rebo.tpose
-            jelT = jnp.zeros(jtypeT.shape, x.dtype)
-            for t_ in range(1, len(self.typemap_np)):
-                jelT = jnp.where(jtypeT == t_, float(self.typemap_np[t_]),
-                                 jelT)
-            return rebo_forces_transposed(
-                x, x_all, idxT, jelT, maskT, mirrorT,
-                el_own.astype(x.dtype), self._rebo_consts,
-                interpret=interpret)
-
         D = x_all[rebo.idx]                           # [N,K,3] row gather
         dx = D[..., 0] - x[:, 0][:, None]
         dy = D[..., 1] - x[:, 1][:, None]

@@ -129,6 +129,17 @@ class AEAM(PairStyle):
         self.z2r_nr_np = z2r_nr
         self.cut_np = np.asarray(t.cut, np.float64)
         self._ang_sel = None
+        # fused [rhor | z2r] rows: both tables are built on the (i,j)
+        # pair's r grid (nr[i,j], dr[i,j]), so one 14-wide row gather
+        # serves f_ij AND phi_ij — two separate [N,K,7] gathers cost
+        # ~18 ms/step at 32k atoms, K=160
+        pairrows = np.zeros((nel * nel, nrmax + 1, 14))
+        for i in range(nel):
+            for j in range(nel):
+                k = i * nel + j
+                pairrows[k, :, 0:7] = rhor[k]
+                pairrows[k, :, 7:14] = z2r[z2r_map[i, j]]
+        self.pair_flat = as_d(pairrows.reshape(-1, 14))
 
     def prepare(self, types_np: np.ndarray) -> None:
         """Precompute the angular-center index set (static per system).
@@ -256,7 +267,18 @@ class AEAM(PairStyle):
         # (pair_aeam.cpp:187-192, 218-223); note r > cut excludes (strict)
         leg_cut = cut_ij - jnp.where(ang_i & ang_j, CUTDEC, 0.0)
         in_leg = mask & (r <= leg_cut)
-        fw = jnp.where(in_leg, self._rhor(ei, ej, r), 0.0)
+        # one fused 14-wide row gather serves f_ij (rho spline) AND phi
+        tab = jnp.broadcast_to(ei * self.nel + ej, r.shape)
+        p_raw = r * self._sel_tab(tab, self.rhor_rdr_np) + 1.0
+        nknot = self._sel_tab(tab, self.rhor_nr_np).astype(jnp.int32)
+        m = jnp.minimum(jnp.floor(p_raw).astype(jnp.int32), nknot - 1)
+        p = p_raw - m
+        p = p + jax.lax.stop_gradient(jnp.minimum(p, 1.0) - p)
+        c = self.pair_flat[tab * self.rhor_stride + m]       # [N, K, 14]
+        f_ij = ((c[..., 3] * p + c[..., 4]) * p + c[..., 5]) * p + c[..., 6]
+        phi = ((c[..., 10] * p + c[..., 11]) * p + c[..., 12]) * p \
+            + c[..., 13]
+        fw = jnp.where(in_leg, f_ij, 0.0)
         rho_lin = jnp.sum(fw, axis=1)
         ang_center = el_own >= self.nnonangular        # [N]
         K = main.capacity
@@ -283,7 +305,7 @@ class AEAM(PairStyle):
         else:
             rho = jnp.where(ang_center,
                             rho_ang_block(fw, dx, dy, dz, r), rho_lin)
-        return rho, ang_center, r, mask, ei, ej, cut_ij
+        return rho, ang_center, r, mask, phi, cut_ij
 
     def energy(self, x, strain, types, nbr: NeighborData, h,
                center_mask=None):
@@ -301,7 +323,7 @@ class AEAM(PairStyle):
         return self._energy_from_rho(rho_etc, el_own, None)
 
     def _energy_from_rho(self, rho_etc, el_own, center_mask):
-        rho, ang_center, r, mask, ei, ej, cut_ij = rho_etc
+        rho, ang_center, r, mask, phi, cut_ij = rho_etc
         # embedding argument rho^n with the minrho force guard
         # (pair_aeam.cpp:329-332): value uses rho^n always, gradient is cut
         # below minrho — double-where keeps sqrt'(0) out of the backward pass
@@ -321,7 +343,6 @@ class AEAM(PairStyle):
 
         # pair term: full cut (cpp:350), half per directed edge (cpp:387)
         in_pair = mask & (r <= cut_ij)
-        phi = self._phi(ei, ej, r)
         e_pair = 0.5 * jnp.sum(jnp.where(in_pair, phi, 0.0))
 
         return e_embed + e_pair
@@ -366,12 +387,12 @@ class AEAM(PairStyle):
         el_own = self.typemap[types]
         el_all = self.typemap[ghosts.all_types(types)]
         z = jnp.zeros((3, 3), x.dtype)
-        rho, ang_center, r, mask, ei, ej, cut_ij = self._rho_field(
+        rho, ang_center, r, mask, phi, cut_ij = self._rho_field(
             x, z, el_own, el_all, ghosts, main, h)
         rho_pow = jnp.where(ang_center, jnp.sqrt(jnp.maximum(rho, 0.0)),
                             rho)
         p_arg = rho_pow * self.frho_rdrho[el_own] + 1.0
         embed = self._embed(el_own, p_arg)
         eat = jnp.where(ang_center, embed / 3.0, embed)
-        phi = jnp.where(mask & (r <= cut_ij), self._phi(ei, ej, r), 0.0)
+        phi = jnp.where(mask & (r <= cut_ij), phi, 0.0)
         return eat + 0.5 * jnp.sum(phi, axis=1)

@@ -204,7 +204,10 @@ class Engine:
         from ..neighbor import device_build
 
         requests = self.pair.neighbor_requests()
-        k_counts = {k.split(":", 2)[2]: int(v)
+        # quantize grown K to multiples of 16: heating systems re-size
+        # several times while kmax creeps up, and every distinct K is a
+        # full retrace (~30-80 s on the tunneled backend)
+        k_counts = {k.split(":", 2)[2]: -(-int(v) // 16) * 16
                     for k, v in flags_np.items() if k.startswith("count:k:")}
         cand_occ = (int(flags_np["count:candcell"])
                     if "count:candcell" in flags_np else None)

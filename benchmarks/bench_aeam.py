@@ -1,0 +1,92 @@
+"""AEAM throughput benchmark — the USER-AEAM/sample.in workload on TPU.
+
+32,000-atom fcc Al with 0.75% Si substitution, NVT at 863 K (sample.in:8-30).
+The reference ships no log for this input (run-without-crash was its bar,
+README.md:30-33); this script reports atom-steps/s/chip in f32.
+
+Usage: python benchmarks/bench_aeam.py   (env: AEAM_NC, AEAM_STEPS,
+AEAM_SKIN, AEAM_REPS)
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+RESULT = {"metric": "atom-steps/sec/chip (AlSi AEAM NVT 863K, f32)",
+          "value": 0.0, "unit": "atom-steps/s"}
+_done = False
+
+
+def _watchdog(seconds):
+    time.sleep(seconds)
+    if not _done:
+        print(json.dumps(RESULT), flush=True)
+        os._exit(0)
+
+
+def main():
+    global _done
+    nc = int(os.environ.get("AEAM_NC", 20))
+    steps = int(os.environ.get("AEAM_STEPS", 50))
+    reps = int(os.environ.get("AEAM_REPS", 3))
+    skin = float(os.environ.get("AEAM_SKIN", 2.0))
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR",
+                                         "/root/repo/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    np.asarray(jax.device_put(np.ones(8, np.float32)))   # pay tunnel warmup
+
+    from lammps_plugins_tpu.api.scenes import alsi_sample
+    from lammps_plugins_tpu.core import units
+    from lammps_plugins_tpu.fixes.nvt import FixNVT
+    from lammps_plugins_tpu.fixes.velocity import velocity_create
+    from lammps_plugins_tpu.potentials.aeam import AEAM
+    from lammps_plugins_tpu.run.simulation import Engine
+
+    state = alsi_sample(nc=nc, dtype=jnp.float32)
+    pair = AEAM.from_file("/root/reference/USER-AEAM/AlSi.aeam",
+                          ["Al", "Si"], dtype=jnp.float32)
+    state = velocity_create(state, units.METAL, 863.0, seed=4928459)
+    natoms = state.natoms
+    eng = Engine(state, pair, [FixNVT(863.0, 863.0, 0.1)], units.METAL,
+                 check_every=25, skin=skin)
+    t0 = time.time()
+    eng.rebuild_neighbors()
+    print(f"# {natoms} atoms, rebuild {time.time()-t0:.1f}s, "
+          f"K={ {k: v.idx.shape[1] for k, v in eng.nbr.lists.items()} }",
+          file=sys.stderr, flush=True)
+    pe, _ = eng.evaluate()
+    print(f"# PE/atom {float(pe)/natoms:.4f}", file=sys.stderr, flush=True)
+    # equilibrate before timing: the hot lattice grows kmax over the first
+    # few hundred steps and every capacity re-size is a retrace
+    t0 = time.time()
+    eng.run(int(os.environ.get("AEAM_WARMUP", 300)))
+    print(f"# warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.time()
+        eng.run(steps)
+        rate = natoms * steps / (time.time() - t0)
+        best = max(best, rate)
+        print(f"# {rate:.3e} atom-steps/s", file=sys.stderr, flush=True)
+    RESULT["value"] = round(best, 1)
+    _done = True
+    print(json.dumps(RESULT), flush=True)
+
+
+if __name__ == "__main__":
+    threading.Thread(target=_watchdog,
+                     args=(int(os.environ.get("AEAM_WATCHDOG", 1500)),),
+                     daemon=True).start()
+    main()

@@ -401,9 +401,30 @@ class Script:
         self.engine = None
 
     def cmd_velocity(self, args):
-        if args[0] != "all" or args[1] != "create":
-            raise ScriptError("Only `velocity all create T seed` supported")
-        self._velocity_cmds.append((float(args[2]), int(args[3])))
+        """velocity <group> create T seed [dist u|g] [mom y|n] [rot y|n]
+        [units box] [loop geom] — LAMMPS Velocity::create keywords."""
+        if args[1] != "create":
+            raise ScriptError(
+                f"velocity style {args[1]!r} not supported (only create)")
+        group = args[0]
+        kw = {"dist": "uniform", "zero_momentum": True,
+              "zero_rotation": False}
+        rest = list(args[4:])
+        while rest:
+            key = rest.pop(0)
+            if key == "dist":
+                val = rest.pop(0)
+                kw["dist"] = {"uniform": "uniform",
+                              "gaussian": "gaussian"}[val]
+            elif key == "mom":
+                kw["zero_momentum"] = rest.pop(0) == "yes"
+            elif key == "rot":
+                kw["zero_rotation"] = rest.pop(0) == "yes"
+            elif key in ("units", "loop", "sum"):
+                rest.pop(0)    # box/lattice, all/geom, yes/no: no-ops here
+            else:
+                raise ScriptError(f"Unknown velocity keyword {key!r}")
+        self._velocity_cmds.append((group, float(args[2]), int(args[3]), kw))
         self.engine = None
 
     def cmd_fix(self, args):
@@ -411,14 +432,13 @@ class Script:
         rest = args[3:]
         gmask = self._group_mask(group)
         if style == "nve":
-            self.fixes.append(FixNVE(group_mask=gmask))
+            self._add_fix(fid, FixNVE(group_mask=gmask))
         elif style == "nvt":
-            if gmask is not None:
-                raise ScriptError("fix nvt currently requires group 'all'")
             if rest[0] != "temp":
                 raise ScriptError("fix nvt requires `temp Tstart Tstop Tdamp`")
-            self.fixes.append(FixNVT(float(rest[1]), float(rest[2]),
-                                     float(rest[3]), fix_id=fid))
+            self._add_fix(fid, FixNVT(float(rest[1]), float(rest[2]),
+                                      float(rest[3]), fix_id=fid,
+                                      group_mask=gmask))
         elif style == "bfield":
             b = []
             for comp in rest[:3]:
@@ -432,14 +452,34 @@ class Script:
             region = None
             if len(rest) > 3 and rest[3] == "region":
                 region = self.regions[rest[4]]
-            self.fixes.append(FixBfield(b[0], b[1], b[2], region=region,
-                                        group_mask=gmask, fix_id=fid))
+            self._add_fix(fid, FixBfield(b[0], b[1], b[2], region=region,
+                                         group_mask=gmask, fix_id=fid))
         else:
             raise ScriptError(f"Unsupported fix style {style}")
         self.engine = None
 
+    def _add_fix(self, fid: str, fix):
+        """Register a fix under its script ID (replacing an existing ID,
+        like LAMMPS Modify::add_fix replace semantics)."""
+        if not hasattr(self, "_fix_ids"):
+            self._fix_ids = []
+        if fid in self._fix_ids:
+            i = self._fix_ids.index(fid)
+            self.fixes[i] = fix
+        else:
+            self._fix_ids.append(fid)
+            self.fixes.append(fix)
+
     def cmd_unfix(self, args):
-        raise ScriptError("unfix not yet supported")
+        """unfix <ID> — remove a previously defined fix."""
+        fid = args[0]
+        ids = getattr(self, "_fix_ids", [])
+        if fid not in ids:
+            raise ScriptError(f"Unknown fix ID {fid} in unfix")
+        i = ids.index(fid)
+        del self._fix_ids[i]
+        del self.fixes[i]
+        self.engine = None
 
     def cmd_compute(self, args):
         """compute ID group style — pe/atom and ke/atom supported."""
@@ -511,8 +551,10 @@ class Script:
         if self.pair is None:
             raise ScriptError("No pair style defined")
         state = self._state()
-        for t_target, seed in self._velocity_cmds:
-            state = velocity_create(state, self.units, t_target, seed)
+        for group, t_target, seed, kw in self._velocity_cmds:
+            gmask = self._group_mask(group)
+            state = velocity_create(state, self.units, t_target, seed,
+                                    group_mask=gmask, **kw)
         # ordering check: fix bfield must precede the time integrator
         # (fix_bfield.cpp:206-219)
         seen_bfield = False

@@ -80,6 +80,21 @@ class Box:
                    lo=jnp.asarray(lo, dtype=dtype), periodic=tuple(periodic),
                    h64=cls._master(h64), lo64=cls._master(lo))
 
+    def with_geometry(self, h=None, lo=None) -> "Box":
+        """Derive a new Box with updated cell matrix / origin.
+
+        The only safe way to change geometry after construction: rebuilds the
+        f64 masters (h64/lo64) alongside the device arrays, which
+        ``dataclasses.replace(box, h=...)`` would leave stale — and then
+        h_np()/corners()/lattice fills would silently use the old geometry.
+        """
+        new_h = self.h if h is None else jnp.asarray(h, dtype=self.h.dtype)
+        new_lo = self.lo if lo is None else jnp.asarray(lo,
+                                                        dtype=self.lo.dtype)
+        return Box(h=new_h, lo=new_lo, periodic=self.periodic,
+                   h64=self._master(h) if h is not None else self.h64,
+                   lo64=self._master(lo) if lo is not None else self.lo64)
+
     # -- geometry ----------------------------------------------------------
     @property
     def h_inv(self) -> jnp.ndarray:

@@ -50,6 +50,12 @@ class FixBfield(Fix):
                         dtype=np.float64)
 
     def setup(self, state: State, ctx: StepContext) -> State:
+        # requires charges (fix_bfield.cpp:135) — a q=0 system would
+        # silently no-op otherwise
+        if not np.any(np.asarray(state.q)):
+            raise ValueError(
+                "fix bfield requires atom attribute q (all charges are "
+                "zero; the Lorentz force q v x B would be identically 0)")
         extras = dict(state.extras)
         dtype = state.x.dtype
         extras[self.key] = {

@@ -15,6 +15,7 @@ Half-step structure per LAMMPS Verlet + FixNH:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.state import State
 from ..registry import register_fix_style
@@ -26,7 +27,10 @@ class FixNVT(Fix):
     time_integrate = True
 
     def __init__(self, t_start: float, t_stop: float, t_damp: float,
-                 mtchain: int = 3, nc_tchain: int = 1, fix_id: str = "nvt"):
+                 mtchain: int = 3, nc_tchain: int = 1, fix_id: str = "nvt",
+                 group_mask=None):
+        """group_mask: optional [N] bool — thermostat + integrate only these
+        atoms (LAMMPS `fix ID <group> nvt`); None = all."""
         self.t_start = float(t_start)
         self.t_stop = float(t_stop)
         self.t_damp = float(t_damp)
@@ -35,13 +39,23 @@ class FixNVT(Fix):
         self.key = f"nvt:{fix_id}"
         self.begin_step = 0
         self.end_step = 0
+        self.group_mask = (None if group_mask is None
+                           else np.asarray(group_mask, bool))
 
     # -- helpers -----------------------------------------------------------
+    def _sel(self, state: State):
+        """[N,1] float selector (1 inside the group)."""
+        if self.group_mask is None:
+            return jnp.ones((state.natoms, 1), state.x.dtype)
+        return jnp.asarray(self.group_mask).astype(state.x.dtype)[:, None]
+
     def _tdof(self, state: State) -> float:
-        return 3 * state.natoms - 3
+        n = (state.natoms if self.group_mask is None
+             else int(self.group_mask.sum()))
+        return 3 * n - 3
 
     def _t_current(self, state: State, ctx: StepContext):
-        m = state.per_atom_mass
+        m = state.per_atom_mass * self._sel(state)[:, 0]
         ke2 = ctx.units.mvv2e * jnp.sum(m * jnp.sum(state.v ** 2, axis=1))
         return ke2 / (self._tdof(state) * ctx.units.boltz)
 
@@ -102,9 +116,9 @@ class FixNVT(Fix):
             upd = (eta_dot[0] * expfac1 + eta_dotdot0 * ncfac * dt4) * expfac1
             eta_dot = eta_dot.at[0].set(upd)
 
-            # scale particle velocities
+            # scale particle velocities (group atoms only)
             factor_eta = jnp.exp(-ncfac * dthalf * eta_dot[0])
-            v = v * factor_eta
+            v = v * (1.0 + self._sel(state) * (factor_eta - 1.0))
             t_current = t_current * factor_eta ** 2
             kecurrent = tdof * boltz * t_current
             eta_dotdot0 = (kecurrent - ke_target) / eta_mass0
@@ -130,13 +144,15 @@ class FixNVT(Fix):
     def initial_integrate(self, state: State, ctx: StepContext) -> State:
         state = self._nhc_half_step(state, ctx)
         m = state.per_atom_mass[:, None]
-        v = state.v + ctx.dtf * state.f / m
-        x = state.x + ctx.dt * v
+        s = self._sel(state)
+        v = state.v + s * (ctx.dtf * state.f / m)
+        x = state.x + s * (ctx.dt * v)
         return state.replace(x=x, v=v)
 
     def final_integrate(self, state: State, ctx: StepContext) -> State:
         m = state.per_atom_mass[:, None]
-        v = state.v + ctx.dtf * state.f / m
+        s = self._sel(state)
+        v = state.v + s * (ctx.dtf * state.f / m)
         state = state.replace(v=v)
         return self._nhc_half_step(state, ctx)
 

@@ -106,11 +106,18 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
               k_counts: Dict[str, int], slack: float = 1.3,
               cell_tiers: Tuple[str, ...] = (),
               cand_occupancy: int | None = None,
-              mirror_tiers: Tuple[str, ...] = ()) -> RebuildPlan:
+              mirror_tiers: Tuple[str, ...] = (),
+              k_final: bool = False) -> RebuildPlan:
     """Derive static geometry + padded capacities from measured counts.
 
     max_cell_occupancy is the coarse-grid occupancy; cand_occupancy the
     fine-grid one (estimated from the volume ratio when not measured).
+
+    k_final=True takes the k_counts values as the exact K capacities
+    (just rounded up to 8), bypassing the slack multiplier.  The resize
+    path uses this so K is a deterministic function of the measured kmax
+    — double slack (quantize-then-multiply) made K flip between 32 and
+    48 on sub-count measurement jitter, a 2x step-time swing.
     """
     cuts = {k: np.asarray(v, np.float64) for k, v in requests.items()}
     list_cut = max(float(v.max()) for v in cuts.values()) + skin
@@ -165,7 +172,13 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
     for d in range(3):
         a0 = int(np.floor((pmn[d] - cell_mn[d]) / cell_size))
         a1 = int(np.floor((pmx[d] - cell_mn[d]) / cell_size)) + 1
-        if not (1 <= a0 and a1 <= cell_dims[d] - 1):
+        # Non-periodic dims have margins[d]=0, so the eps-padded prism AABB
+        # pokes one eps into the halo ring (a0=0 / a1=cell_dims).  Atoms at
+        # the box face still bin to interior cells (cell_mn sits one full
+        # cell below mn); only the eps slop crosses, so clamping is exact.
+        a0 = max(a0, 1)
+        a1 = min(a1, cell_dims[d] - 1)
+        if not (1 <= a0 < a1 <= cell_dims[d] - 1):
             raise AssertionError(
                 f"A-range dim {d}: [{a0},{a1}) outside halo-safe "
                 f"[1,{cell_dims[d] - 1})")
@@ -184,8 +197,9 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         ghost_capacity=pad8(max(ghost_count, 8)),
         cand_dims=cand_dims, cand_size=cand_size,
         cand_capacity=pad8(max(cand_occupancy, 2)),
-        k_caps=tuple(sorted((k, pad8(v)) for k, v in k_counts.items()
-                            if k not in cell_tiers)),
+        k_caps=tuple(sorted(
+            (k, max(8, -(-int(v) // 8) * 8) if k_final else pad8(v))
+            for k, v in k_counts.items() if k not in cell_tiers)),
         cell_dims=cell_dims, cell_size=cell_size,
         # tighter slack for the coarse cells: the Pallas LJ kernel's work
         # scales with C (sublane count); overflow recovery handles misses
@@ -443,6 +457,11 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
         sidx_ghost = jnp.where(ghost_valid, sidx_ghost, 0)
         inv_sidx = _inverse_shift_perm(plan.shifts)
         use_select_k = _select_k_mode()
+        # atom ids ride through select_k as f32 payloads — exact only for
+        # ids < 2^24 (~16.7M).  Beyond that they would round silently and
+        # corrupt neighbor lists, so fall back to the top_k path.
+        if use_select_k and m_all >= 2 ** 24:
+            use_select_k = False
 
         # chunk the candidate pipeline over atom blocks: the [chunk, W]
         # working set is ~6 arrays wide, which at 1M atoms and W=648 would

@@ -382,33 +382,81 @@ class REBOMoS(PairStyle):
         because every directed edge has a unique mirror (owner(j),
         image-of-i) among the owned rows — the rebuild-time `mirror`
         table turns the reverse accumulation (a 74 ms scatter-add at 98k
-        atoms) into a 34 ms row gather.  This is the TPU answer to
-        newton-on reverse ghost communication (pair_aeam.cpp:257)."""
-        x_all = ghosts.all_positions(x, h)
+        atoms) into a row gather.  This is the TPU answer to newton-on
+        reverse ghost communication (pair_aeam.cpp:257).
+
+        The Pallas branch runs the whole pipeline in the kernel-native
+        [K, Np] layout (atoms on lanes): the neighbor gather and the
+        mirror gather are 2-D-index/2-D-output element gathers (the fast
+        TPU gather class), and no [N,K,3] tensor or transpose copy ever
+        exists.  Measured vs the [N,K]-layout flow at 98k atoms: the
+        gather+transpose+mirror glue drops from ~21 ms to ~7 ms/step."""
         use_pallas = (self._use_pallas(x) if force_pallas is None
                       else force_pallas)
+        if use_pallas:
+            return self._rebo_forces_mirror_tn(x, el_own, el_all, ghosts,
+                                               rebo, h, interpret=interpret)
+        x_all = ghosts.all_positions(x, h)
         D = x_all[rebo.idx]                           # [N,K,3] row gather
         dx = D[..., 0] - x[:, 0][:, None]
         dy = D[..., 1] - x[:, 1][:, None]
         dz = D[..., 2] - x[:, 2][:, None]
 
-        if use_pallas:
-            from ..ops.rebo_pallas import rebo_edge_cotangents
-            jel = self._jel(rebo, el_all)
-            gx, gy, gz = rebo_edge_cotangents(
-                dx, dy, dz, jel, rebo.mask, el_own,
-                interpret=interpret, consts=self._rebo_consts)
-        else:
-            def e_of_d(dx_, dy_, dz_):
-                rsq = dx_ * dx_ + dy_ * dy_ + dz_ * dz_
-                rsq = jnp.where(rebo.mask, rsq, 1.0)
-                return self._rebo_energy_core(dx_, dy_, dz_, rsq, rebo.mask,
-                                              rebo, el_own, el_all)
+        def e_of_d(dx_, dy_, dz_):
+            rsq = dx_ * dx_ + dy_ * dy_ + dz_ * dz_
+            rsq = jnp.where(rebo.mask, rsq, 1.0)
+            return self._rebo_energy_core(dx_, dy_, dz_, rsq, rebo.mask,
+                                          rebo, el_own, el_all)
 
-            _, vjp = jax.vjp(e_of_d, dx, dy, dz)
-            gx, gy, gz = vjp(jnp.ones((), x.dtype))
+        _, vjp = jax.vjp(e_of_d, dx, dy, dz)
+        gx, gy, gz = vjp(jnp.ones((), x.dtype))
         from ..neighbor.neighbor import mirror_combine
         return mirror_combine(gx, gy, gz, rebo)
+
+    def _rebo_forces_mirror_tn(self, x, el_own, el_all, ghosts, rebo, h,
+                               interpret=False):
+        """[K, Np]-layout REBO force path (see _rebo_forces_mirror).
+
+        Everything derived from the neighbor list alone (idxT, jelT,
+        mskT, mirror tables) is loop-invariant w.r.t. the scanned step,
+        so XLA hoists it out of the segment while-loop; only the two
+        fast-class gathers and the kernel run per step."""
+        from ..ops.rebo_pallas import _rebo_call
+        N, K = rebo.idx.shape
+        Np = -(-N // 128) * 128
+        dtype = x.dtype
+
+        def padT(a, fill=0):
+            return jnp.pad(jnp.swapaxes(a, 0, 1), ((0, 0), (0, Np - N)),
+                           constant_values=fill)
+
+        idxT = padT(rebo.idx)                          # [K, Np]
+        mskT = padT(rebo.mask.astype(dtype))
+        jelT = padT(self._jel(rebo, el_all).astype(dtype))
+        eiT = jnp.pad(el_own.astype(dtype).reshape(1, N),
+                      ((0, 7), (0, Np - N)))
+        # mirror slot (flat over the [N,K] edge set) -> flat over [K,Np]
+        mir = rebo.mirror
+        mir_ok = rebo.mask & (mir >= 0)
+        mir_safe = jnp.maximum(mir, 0)
+        mirT = padT(jnp.where(mir_ok, (mir_safe % K) * Np + mir_safe // K,
+                              0))
+        mirvT = padT(mir_ok.astype(dtype))
+
+        x_all = ghosts.all_positions(x, h)
+        xT = [jnp.pad(x[:, a], (0, Np - N)) for a in range(3)]
+        dxT = x_all[:, 0][idxT] - xT[0][None, :]
+        dyT = x_all[:, 1][idxT] - xT[1][None, :]
+        dzT = x_all[:, 2][idxT] - xT[2][None, :]
+
+        consts_key = tuple(sorted(self._rebo_consts.items()))
+        gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
+                                consts_key=consts_key, interpret=interpret)
+        cols = []
+        for g in (gx, gy, gz):
+            gm = g.reshape(-1)[mirT] * mirvT
+            cols.append(jnp.sum(g, axis=0) - jnp.sum(gm, axis=0))
+        return jnp.stack(cols, axis=1)[:N]
 
     def _fpair_lj(self, ei, ej, r, rsq):
         """-(dV/dr)/r for the switched LJ (pair_rebomos.cpp:518-543):

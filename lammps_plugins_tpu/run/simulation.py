@@ -62,6 +62,8 @@ class Engine:
         self._seg_jit = None
         self._efv_jit = None
         self._ev_jit = None
+        self._force_jit = None
+        self._f_valid = False
         self._thermo_jit = None
         # on-device rebuild: the TPU-native path for large systems (host
         # rebuild is O(seconds) at 100k atoms; device is O(ms))
@@ -204,17 +206,27 @@ class Engine:
         from ..neighbor import device_build
 
         requests = self.pair.neighbor_requests()
-        # quantize grown K to multiples of 16: heating systems re-size
-        # several times while kmax creeps up, and every distinct K is a
-        # full retrace (~30-80 s on the tunneled backend)
-        k_counts = {k.split(":", 2)[2]: -(-int(v) // 16) * 16
-                    for k, v in flags_np.items() if k.startswith("count:k:")}
+        # Final K = measured kmax (+ small headroom), quantized to 16:
+        # deterministic in the measurement, so repeated runs of the same
+        # scene land on the same K (and the same compiled step).  Heating
+        # systems re-size while kmax creeps; every distinct K is a full
+        # retrace (~30-80 s on the tunneled backend), so quantization
+        # bounds the number of retraces.  grow only scales the headroom
+        # on overflow recovery (where the measured count may itself be
+        # truncated by the too-small capacity).
+        k_counts = {}
+        for k, v in flags_np.items():
+            if not k.startswith("count:k:"):
+                continue
+            m = int(v)
+            target = m + 2 if grow <= 1.3 else int(m * grow) + 2
+            k_counts[k.split(":", 2)[2]] = max(16, -(-target // 16) * 16)
         cand_occ = (int(flags_np["count:candcell"])
                     if "count:candcell" in flags_np else None)
         self._plan = device_build.make_plan(
             self.state.box, requests, self.skin,
             int(flags_np["count:ghost"]), int(flags_np["count:cell"]),
-            k_counts, slack=grow,
+            k_counts, slack=grow, k_final=True,
             cell_tiers=getattr(self.pair, "cell_tiers", ()),
             mirror_tiers=getattr(self.pair, "mirror_tiers", ()),
             cand_occupancy=cand_occ)
@@ -258,8 +270,7 @@ class Engine:
             self._seg_jit = jax.jit(seg, static_argnums=2)
         return self._seg_jit(state, nbr, nsteps)
 
-    def evaluate(self):
-        """Compute forces/pe/W at the current positions (LAMMPS setup())."""
+    def _ensure_neighbors(self):
         if self.nbr is None:
             self.rebuild_neighbors()
         elif self.device_rebuild:
@@ -271,12 +282,37 @@ class Engine:
             x_np = np.asarray(self.state.x)
             if self._needs_rebuild(x_np):
                 self.rebuild_neighbors(x_np)
+
+    def evaluate(self):
+        """Compute forces/pe/W at the current positions (LAMMPS setup())."""
+        self._ensure_neighbors()
         if self._efv_jit is None:
             self._efv_jit = jax.jit(self.pair.energy_force_virial)
         pe, force, W = self._efv_jit(
             self.state.x, self.state.type, self.nbr, self.state.box.h)
         self.state = self.state.replace(f=force)
+        self._f_valid = True
         return pe, W
+
+    def _setup_forces(self):
+        """Make state.f valid for the next segment's initial half-kick.
+
+        After any completed segment, state.f already holds the forces at
+        the final positions (the step computes forces before
+        final_integrate), so recomputing them — let alone the full
+        energy/virial pass evaluate() runs — is redundant.  The full pass
+        costs ~330 ms at 98k atoms on TPU (measured), i.e. 6+ ms/step at
+        50-step benching granularity.
+        """
+        self._ensure_neighbors()
+        if getattr(self, "_f_valid", False):
+            return
+        if self._force_jit is None:
+            self._force_jit = jax.jit(self.pair.forces)
+        force = self._force_jit(self.state.x, self.state.type, self.nbr,
+                                self.state.box.h)
+        self.state = self.state.replace(f=force)
+        self._f_valid = True
 
     def memory_usage(self) -> dict:
         """Device-array bytes by subsystem — the analogue of LAMMPS's
@@ -288,12 +324,13 @@ class Engine:
                        for a in jax.tree_util.tree_leaves(tree)
                        if hasattr(a, "dtype"))
 
-        out = {"state": tree_bytes(self.state),
-               "neighbor": tree_bytes(self.nbr) if self.nbr else 0,
-               "pair_tables": tree_bytes(
+        out = {"state_mb": tree_bytes(self.state) / 2 ** 20,
+               "neighbor_mb": (tree_bytes(self.nbr) if self.nbr else 0)
+               / 2 ** 20,
+               "pair_tables_mb": tree_bytes(
                    {k: v for k, v in vars(self.pair).items()
-                    if hasattr(v, "dtype")})}
-        out["total_mb"] = sum(v for k, v in out.items()) / 2 ** 20
+                    if hasattr(v, "dtype")}) / 2 ** 20}
+        out["total_mb"] = sum(out.values())
         return out
 
     def _thermo(self, state, pe, W):
@@ -326,7 +363,7 @@ class Engine:
         count crosses a multiple of `every` (dump files, periodic restart).
         """
         self.timers.start_run(self.state.natoms)
-        self.evaluate()
+        self._setup_forces()
         rows = []
 
         def emit():

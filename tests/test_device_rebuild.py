@@ -68,6 +68,38 @@ def test_overflow_recovery(rebo_file):
     assert abs(float(pe) - -2061.6112) < 1e-3
 
 
+def test_nonperiodic_dim_plan_and_energy(rebo_file):
+    """Non-periodic z: make_plan must not crash (margins[2]=0 puts the
+    eps-padded prism AABB at the halo boundary — the a_range clamp), and
+    the device rebuild must agree with the host build."""
+    state = rebomos_bulk(nx=4, ny=8, nz=2, tilt_xy=0.0)
+    # re-declare z as a free boundary with vacuum so no pair crosses it
+    import dataclasses as dc
+    from lammps_plugins_tpu.core.box import Box
+    h = state.box.h_np()
+    lo = state.box.lo_np()
+    h2 = h.copy()
+    h2[2, 2] += 30.0                     # vacuum pad above the slab
+    box = Box(h=jnp.asarray(h2, state.box.h.dtype),
+              lo=jnp.asarray(lo - np.array([0, 0, 15.0]),
+                             state.box.lo.dtype),
+              periodic=(True, True, False),
+              h64=Box._master(h2),
+              lo64=Box._master(lo - np.array([0, 0, 15.0])))
+    state = dc.replace(state, box=box)
+    pair = REBOMoS.from_file(rebo_file, ["M", "S"])
+
+    eng_h = Engine(state, pair, [FixNVE()], units.METAL,
+                   device_rebuild=False)
+    pe_h, _ = eng_h.evaluate()
+
+    eng_d = Engine(state, pair, [FixNVE()], units.METAL,
+                   device_rebuild=True)
+    pe_d, _ = eng_d.evaluate()
+    assert np.isfinite(float(pe_d))
+    assert abs(float(pe_d) - float(pe_h)) < 1e-9 * abs(float(pe_h))
+
+
 def test_analytic_lj_forces_match_autodiff(rebo_file):
     """REBOMoS.forces computes the LJ tier in closed form over the cell
     grid; it must equal the autodiff gradient of the same weighted

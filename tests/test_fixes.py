@@ -66,6 +66,44 @@ def test_bfield_half_period_reverses_velocity():
     assert abs(vf[2]) < 1e-12           # no z coupling for Bz
 
 
+def test_nvt_conserved_quantity(aeam_file):
+    """Nose-Hoover conserved quantity H = KE + PE + E_thermostat must be
+    conserved to discretization level — the oracle LAMMPS itself uses for
+    FixNH (a wrong chain mass or half-step order drifts H secularly).
+    Exercises the sample.in thermostat (fix 1 all nvt temp 863 863 0.1)."""
+    from lammps_plugins_tpu.potentials.aeam import AEAM
+    from lammps_plugins_tpu.core.lattice import Lattice, create_atoms_box
+
+    pair = AEAM.from_file(aeam_file, ["Al", "Si"])
+    a = 4.045
+    lat = Lattice.fcc(a)
+    box = Box.orthogonal([a * 2] * 3)
+    pos, types = create_atoms_box(lat, box, [1, 1, 1, 1])
+    state = State.create(x=jnp.asarray(pos), type=types, box=box,
+                         mass=pair.masses)
+    state = velocity_create(state, units.METAL, 600.0, seed=3)
+    nvt = FixNVT(863.0, 863.0, 0.1)
+    eng = Engine(state, pair, [nvt], units.METAL, check_every=50)
+
+    def hamiltonian():
+        pe, _ = eng.evaluate()
+        m = np.asarray(eng.state.per_atom_mass)
+        v = np.asarray(eng.state.v)
+        ke = 0.5 * units.METAL.mvv2e * float((m * (v ** 2).sum(1)).sum())
+        eth = float(nvt.energy(eng.state, eng.ctx))
+        return float(pe) + ke + eth
+
+    h0 = hamiltonian()
+    drifts = []
+    for _ in range(8):
+        eng.run(250)
+        drifts.append(abs(hamiltonian() - h0))
+    # 32 atoms, KE scale ~ 32*3/2*kB*863 ~ 3.6 eV; velocity-Verlet + MTK
+    # chains at dt=1 fs hold H to ~1e-4 eV here (measured ~2e-5); a broken
+    # half-step order or chain mass drifts H by O(0.1 eV) over 2000 steps
+    assert max(drifts) < 2e-3, f"NVT conserved-quantity drift {max(drifts)}"
+
+
 def test_nvt_controls_temperature(aeam_file):
     """Thermostat drives a cold Al cell toward the target temperature."""
     from lammps_plugins_tpu.potentials.aeam import AEAM

@@ -33,7 +33,7 @@ def main():
     nc = int(os.environ.get("AEAM_NC", 20))
     steps = int(os.environ.get("AEAM_STEPS", 50))
     reps = int(os.environ.get("AEAM_REPS", 3))
-    skin = float(os.environ.get("AEAM_SKIN", 2.0))
+    skin = float(os.environ.get("AEAM_SKIN", 1.0))
 
     import numpy as np
     import jax
@@ -60,7 +60,7 @@ def main():
     state = velocity_create(state, units.METAL, 863.0, seed=4928459)
     natoms = state.natoms
     eng = Engine(state, pair, [FixNVT(863.0, 863.0, 0.1)], units.METAL,
-                 check_every=25, skin=skin)
+                 check_every=int(os.environ.get("AEAM_CHECK", 12)), skin=skin)
     t0 = time.time()
     eng.rebuild_neighbors()
     print(f"# {natoms} atoms, rebuild {time.time()-t0:.1f}s, "

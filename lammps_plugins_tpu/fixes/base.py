@@ -19,15 +19,31 @@ from ..core.units import UnitSystem
 
 @dataclasses.dataclass
 class StepContext:
-    """Static per-run parameters visible to every hook."""
+    """Static per-run parameters visible to every hook.
+
+    axis/natoms_global: set by the sharded engine — hooks that reduce over
+    atoms (thermostat kinetic energy, bfield force tallies) must psum over
+    `axis` and use the global atom count for degrees of freedom; both are
+    None in single-device runs.
+    """
 
     units: UnitSystem
     dt: float
+    axis: "str | None" = None
+    natoms_global: "int | None" = None
 
     @property
     def dtf(self) -> float:
         """0.5 * dt * ftm2v — the half-kick prefactor (fix_bfield.cpp:204)."""
         return 0.5 * self.dt * self.units.ftm2v
+
+    def asum(self, value):
+        """Sum a per-shard scalar across the device axis (identity when
+        unsharded) — the MPI_Allreduce analogue (fix_bfield.cpp:545)."""
+        if self.axis is None:
+            return value
+        import jax
+        return jax.lax.psum(value, self.axis)
 
 
 class Fix:

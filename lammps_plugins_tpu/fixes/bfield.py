@@ -137,10 +137,11 @@ class FixBfield(Fix):
         fz = q * (vx * B[1] - vy * B[0])
         unwrap = state.box.unmap(x_new, state.image)
         s = sel.astype(state.x.dtype)
-        fsum = jnp.stack([
+        # ctx.asum = MPI_Allreduce analogue under sharding (fix_bfield.cpp:545)
+        fsum = ctx.asum(jnp.stack([
             -jnp.sum(s * (fx * unwrap[:, 0] + fy * unwrap[:, 1]
                           + fz * unwrap[:, 2])),
-            jnp.sum(s * fx), jnp.sum(s * fy), jnp.sum(s * fz)])
+            jnp.sum(s * fx), jnp.sum(s * fy), jnp.sum(s * fz)]))
 
         extras = dict(state.extras)
         entry = dict(entry)

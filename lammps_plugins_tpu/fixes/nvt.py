@@ -49,15 +49,19 @@ class FixNVT(Fix):
             return jnp.ones((state.natoms, 1), state.x.dtype)
         return jnp.asarray(self.group_mask).astype(state.x.dtype)[:, None]
 
-    def _tdof(self, state: State) -> float:
-        n = (state.natoms if self.group_mask is None
-             else int(self.group_mask.sum()))
+    def _tdof(self, state: State, ctx: StepContext | None = None) -> float:
+        if self.group_mask is not None:
+            return 3 * int(self.group_mask.sum()) - 3
+        n = state.natoms
+        if ctx is not None and ctx.natoms_global is not None:
+            n = ctx.natoms_global
         return 3 * n - 3
 
     def _t_current(self, state: State, ctx: StepContext):
         m = state.per_atom_mass * self._sel(state)[:, 0]
-        ke2 = ctx.units.mvv2e * jnp.sum(m * jnp.sum(state.v ** 2, axis=1))
-        return ke2 / (self._tdof(state) * ctx.units.boltz)
+        ke2 = ctx.units.mvv2e * ctx.asum(
+            jnp.sum(m * jnp.sum(state.v ** 2, axis=1)))
+        return ke2 / (self._tdof(state, ctx) * ctx.units.boltz)
 
     def _t_target(self, state: State):
         if self.end_step <= self.begin_step:
@@ -79,7 +83,7 @@ class FixNVT(Fix):
         dt = ctx.dt
         dthalf, dt4, dt8 = dt / 2, dt / 4, dt / 8
         boltz = ctx.units.boltz
-        tdof = self._tdof(state)
+        tdof = self._tdof(state, ctx)
         t_target = self._t_target(state)
         t_freq = 1.0 / self.t_damp
         ke_target = tdof * boltz * t_target
@@ -161,7 +165,7 @@ class FixNVT(Fix):
         chain = state.extras[self.key]
         eta, eta_dot = chain["eta"], chain["eta_dot"]
         boltz = ctx.units.boltz
-        tdof = self._tdof(state)
+        tdof = self._tdof(state, ctx)
         t_target = self._t_target(state)
         t_freq = 1.0 / self.t_damp
         eta_mass0 = tdof * boltz * t_target / (t_freq * t_freq)

@@ -99,6 +99,9 @@ class RebuildPlan:
     # an OWNED atom (cells intersecting the primary prism's AABB + eps);
     # the kernel runs A-centers over exactly this range
     a_range: Tuple[Tuple[int, int], ...] = ((0, 0), (0, 0), (0, 0))
+    # per-dim periodicity: the rebuild wraps positions only on periodic
+    # dims (the sharded slab boxes are non-periodic along the slab axis)
+    periodic: Tuple[bool, bool, bool] = (True, True, True)
 
 
 def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
@@ -208,7 +211,8 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         cell_tiers=tuple(sorted(cell_tiers)),
         list_cut=list_cut, skin=skin,
         mirror_tiers=tuple(sorted(mirror_tiers)),
-        cell_mn=cell_mn, a_range=a_range)
+        cell_mn=cell_mn, a_range=a_range,
+        periodic=tuple(bool(p) for p in box.periodic))
 
 
 def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
@@ -378,10 +382,14 @@ def _mirror_table(idx, mask, owner, ghost_valid, sidx_ghost, inv_sidx, n, K):
 
 @partial(jax.jit, static_argnums=(0,))
 def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
-                   cut_mats: Dict[str, jnp.ndarray]):
+                   cut_mats: Dict[str, jnp.ndarray], valid=None):
     """Jitted rebuild: (x, image) -> (xw, image', NeighborData, flags).
 
     cut_mats: per-tier [T+1, T+1] cutoff matrices (device arrays).
+    valid: optional [N] bool — rows marked False (pad slots of sharded
+    slab arrays) are excluded from ghosts, cell tables and candidate
+    grids, and produce empty neighbor lists.  Invalid rows should be
+    parked far outside the box along a non-periodic dim.
     """
     dtype = x.dtype
     n = x.shape[0]
@@ -389,6 +397,9 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     # -- wrap into the primary cell (Domain::pbc) --------------------------
     f = _matvec3(x - lo, h_inv)
     shift = jnp.floor(f)
+    if not all(plan.periodic):
+        per = jnp.asarray(np.array(plan.periodic, np.float32), dtype)
+        shift = shift * per[None, :]
     fw = f - shift
     xw = _matvec3(fw, h) + lo
     image = image + shift.astype(jnp.int32)
@@ -398,6 +409,8 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     margins = jnp.asarray(np.array(plan.margins), dtype)
     fi = fw[None, :, :] + shifts[:, None, :]                    # [S,N,3]
     keep = jnp.all((fi >= -margins) & (fi <= 1.0 + margins), axis=-1)
+    if valid is not None:
+        keep = keep & valid[None, :]
     flat = keep.reshape(-1)
     Mg = plan.ghost_capacity
     (sel,) = jnp.nonzero(flat, size=Mg, fill_value=-1)
@@ -413,7 +426,8 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     x_all = ghosts.all_positions(xw, h)                         # [n+Mg,3]
     t_all = ghosts.all_types(types)
     m_all = n + Mg
-    valid_row = jnp.concatenate([jnp.ones(n, bool), ghost_valid])
+    owned_valid = jnp.ones(n, bool) if valid is None else valid
+    valid_row = jnp.concatenate([owned_valid, ghost_valid])
     mn = jnp.asarray(np.array(plan.grid_mn), dtype)
     x_pad = jnp.concatenate([x_all, jnp.full((1, 3), 1e7, dtype)], axis=0)
     t_pad = jnp.concatenate([t_all, jnp.zeros(1, t_all.dtype)])

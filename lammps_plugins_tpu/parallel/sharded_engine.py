@@ -1,0 +1,750 @@
+"""Production spatial decomposition — slab-sharded MD with migration.
+
+The TPU-native equivalent of LAMMPS's MPI domain decomposition + Comm
+(SURVEY.md sections 2.4/5.8), built so every shard reuses the SINGLE-CHIP
+machinery wholesale:
+
+  * Each device owns one x-slab.  Its local atom block is
+    [owned (n_cap) | left halo (Bh) | right halo (Bh)] — halo atoms are
+    copies of boundary atoms from the adjacent slabs, refreshed every step
+    by two `lax.ppermute`s over ICI (the analogue of forward position
+    communication).
+  * Neighbor lists, cell tables and mirror tables are built PER SHARD by
+    the same jitted `device_rebuild` used single-chip, on a "slab box":
+    the global cell sliced along x (non-periodic, the halo margin baked
+    into the box) with y/z periodicity intact.  Halo atoms are passed as
+    pseudo-owned rows, so the per-shard force evaluation — including the
+    Pallas kernels — needs NO reverse force communication: every edge
+    incident to an owned atom, and its mirror, is present locally
+    (REBOMOS's own REQ_GHOST design, pair_rebomos.cpp:304, taken to its
+    conclusion).  The halo width is pair.ghost_margin(skin), which covers
+    the many-body environment of halo centers (LAMMPS cutghost analogue).
+  * Migration (LAMMPS Comm::exchange): at every reneighbor event, atoms
+    whose slab changed are packed into fixed-capacity buffers and
+    ppermuted to the adjacent shard; all packing is cumsum-compaction
+    scatters (no host loops, no dynamic shapes).
+  * Reductions (thermo energy, thermostat kinetic energy, bfield tallies)
+    are `lax.psum` over the mesh axis — MPI_Allreduce (fix_bfield.cpp:545).
+
+Fixed capacities (slab atoms n_cap, halo Bh, migration B) are sized from
+the initial configuration with slack; overflow flags are psum'd out of the
+jitted resettle and trigger a host-side re-size + retrace, exactly like the
+single-chip engine's plan recovery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.box import Box
+from ..core.state import State
+from ..core.units import UnitSystem
+from ..fixes.base import Fix, StepContext
+from ..neighbor import device_build
+from ..potentials.base import PairStyle
+
+AXIS = "spatial"
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardState:
+    """Sharded atom state; every leaf's leading axis is the device axis."""
+
+    x: jnp.ndarray        # [Pn, n_cap, 3]
+    v: jnp.ndarray        # [Pn, n_cap, 3]
+    f: jnp.ndarray        # [Pn, n_cap, 3]
+    type: jnp.ndarray     # [Pn, n_cap]
+    q: jnp.ndarray        # [Pn, n_cap]
+    tag: jnp.ndarray      # [Pn, n_cap] global atom id (for gather-back)
+    image: jnp.ndarray    # [Pn, n_cap, 3]
+    valid: jnp.ndarray    # [Pn, n_cap]
+    step: jnp.ndarray     # [Pn] per-shard copy of the timestep
+    extras: Dict          # per-shard fix state ([Pn, ...] leaves)
+
+    def tree_flatten(self):
+        return ((self.x, self.v, self.f, self.type, self.q, self.tag,
+                 self.image, self.valid, self.step, self.extras), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class HaloTables:
+    """Static-between-rebuilds halo exchange tables (leading axis = device).
+
+    exp_r/exp_l: slot indices of my atoms exported to the right/left
+    neighbor (they become its left/right halo).  t_loc/valid_loc describe
+    the [owned | left halo | right halo] local block."""
+
+    exp_r: jnp.ndarray        # [Pn, Bh] int32 slots
+    exp_l: jnp.ndarray        # [Pn, Bh]
+    val_hl: jnp.ndarray       # [Pn, Bh] validity of my LEFT halo rows
+    val_hr: jnp.ndarray       # [Pn, Bh]
+    t_loc: jnp.ndarray        # [Pn, n_loc] types of the local block
+    valid_loc: jnp.ndarray    # [Pn, n_loc]
+
+    def tree_flatten(self):
+        return ((self.exp_r, self.exp_l, self.val_hl, self.val_hr,
+                 self.t_loc, self.valid_loc), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+
+def _sq(tree):
+    """Strip the leading size-1 axis shard_map hands each device."""
+    return jax.tree_util.tree_map(lambda a: a[0], tree)
+
+
+def _pack(mask, cap, arrs):
+    """Compact masked rows to the front of fixed-capacity arrays.
+
+    Returns (packed arrays, count, overflow).  Deterministic scatter with
+    unique targets; overflowing rows are dropped (and flagged)."""
+    tgt = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    cnt = jnp.sum(mask)
+    tgt = jnp.where(mask & (tgt < cap), tgt, cap)
+    out = []
+    for a in arrs:
+        shape = (cap,) + a.shape[1:]
+        out.append(jnp.zeros(shape, a.dtype).at[tgt].set(
+            jnp.where(mask.reshape((-1,) + (1,) * (a.ndim - 1)), a, 0),
+            mode="drop"))
+    return out, cnt, cnt > cap
+
+
+def _merge(mask_rows, base, cap, dst_list, src_list):
+    """Scatter valid src rows into dst starting at slot `base`."""
+    tgt = base + jnp.cumsum(mask_rows.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask_rows & (tgt < cap), tgt, cap)
+    out = []
+    for dst, src in zip(dst_list, src_list):
+        out.append(dst.at[tgt].set(
+            jnp.where(mask_rows.reshape((-1,) + (1,) * (src.ndim - 1)),
+                      src, 0), mode="drop"))
+    return out, jnp.sum(mask_rows)
+
+
+class ShardedEngine:
+    """Multi-device slab engine mirroring run/simulation.Engine's API."""
+
+    def __init__(self, state: State, pair: PairStyle, fixes: Sequence[Fix],
+                 units: UnitSystem, n_devices: int | None = None,
+                 dt: float | None = None, skin: float | None = None,
+                 check_every: int = 10, slack: float = 1.4):
+        self.pair = pair
+        self.fixes = list(fixes)
+        self.units = units
+        self.skin = skin if skin is not None else units.skin
+        self.check_every = check_every
+        self.slack = slack
+        devices = jax.devices()
+        Pn = n_devices or len(devices)
+        if Pn < 2:
+            raise ValueError("ShardedEngine needs >= 2 devices; "
+                             "use run.simulation.Engine single-device")
+        self.n_devices = Pn
+        self.mesh = Mesh(np.array(devices[:Pn]), (AXIS,))
+        self.ctx = StepContext(units=units,
+                               dt=dt if dt is not None else units.dt,
+                               axis=AXIS, natoms_global=state.natoms)
+        for f in self.fixes:
+            if getattr(f, "group_mask", None) is not None:
+                raise ValueError("group-scoped fixes are not supported "
+                                 "under the sharded engine yet")
+
+        self.box = state.box
+        self.natoms = state.natoms
+        self.dtype = state.x.dtype
+        self._setup_geometry(state)
+        self._pack_initial(state)
+        self._setup_fix_extras(state)
+        self._make_plan()
+        self.halo = None
+        self.nbr = None
+        self._resettle_jit = None
+        self._seg_jit = None
+        self._ev_jit = None
+        pair.prepare(np.asarray(state.type))
+        self.thermo_rows: List[dict] = []
+
+    # -- host-side setup ---------------------------------------------------
+    def _setup_geometry(self, state: State):
+        box = state.box
+        h = box.h_np()
+        lo = box.lo_np()
+        widths = box.perpendicular_widths_np()
+        Pn = self.n_devices
+        if not box.periodic[0]:
+            raise ValueError("slab decomposition requires periodic x")
+        margin = self.pair.ghost_margin(self.skin)
+        self.margin_frac = margin / widths[0]
+        slab_w = widths[0] / Pn
+        if slab_w < margin:
+            raise ValueError(
+                f"slab width {slab_w:.2f} A < halo margin {margin:.2f} A: "
+                f"box too small in x for {Pn}-way decomposition")
+        # slab box: x-slice of the global cell, halo margins baked in,
+        # non-periodic x (halos are explicit atoms), periodic y/z
+        hs = h.copy()
+        hs[0] = h[0] * (1.0 / Pn + 2.0 * self.margin_frac)
+        self.slab_box = Box(
+            h=jnp.asarray(hs, self.dtype),
+            lo=jnp.asarray(lo, self.dtype),
+            periodic=(False, box.periodic[1], box.periodic[2]),
+            h64=Box._master(hs), lo64=Box._master(lo))
+        los = np.stack([lo + (d / Pn - self.margin_frac) * h[0]
+                        for d in range(Pn)])
+        self._lo_shards = jnp.asarray(los, self.dtype)       # [Pn, 3]
+        self._h_glob = jnp.asarray(h, self.dtype)
+        self._hinv_glob = jnp.asarray(np.linalg.inv(h), self.dtype)
+        self._lo_glob = jnp.asarray(lo, self.dtype)
+        self._h_slab = jnp.asarray(hs, self.dtype)
+        self._hinv_slab = jnp.asarray(np.linalg.inv(hs), self.dtype)
+        self._arow = jnp.asarray(h[0], self.dtype)           # global a vector
+
+    def _pack_initial(self, state: State):
+        Pn = self.n_devices
+        x_np, image_np = state.box.wrap_np(np.asarray(state.x),
+                                           np.asarray(state.image))
+        h = state.box.h_np()
+        lo = state.box.lo_np()
+        frac = (x_np - lo) @ np.linalg.inv(h)
+        N = self.natoms
+        slab_of = np.clip((frac[:, 0] * Pn).astype(np.int64), 0, Pn - 1)
+        counts = np.bincount(slab_of, minlength=Pn)
+        n_cap = int(-(-int(counts.max() * self.slack) // 8) * 8)
+        self.n_cap = max(getattr(self, "n_cap", 0), n_cap, 8)
+        # halo capacity from the measured per-boundary population
+        m = self.margin_frac
+        hcounts = []
+        for d in range(Pn):
+            sl = frac[:, 0] * Pn - d
+            hcounts.append(((sl >= 0) & (sl <= m * Pn)).sum())
+            hcounts.append(((sl >= 1 - m * Pn) & (sl <= 1)).sum())
+        self.Bh = max(8, int(-(-int(max(hcounts) * self.slack) // 8) * 8))
+        self.B_mig = max(8, -(-self.n_cap // 8) * 2)  # ~25% of slab
+        self.n_loc = self.n_cap + 2 * self.Bh
+
+        order = np.argsort(slab_of, kind="stable")
+        starts = np.zeros(Pn + 1, np.int64)
+        starts[1:] = np.cumsum(counts)
+        slot = np.arange(N) - starts[slab_of[order]]
+        d_all = slab_of[order]
+
+        def packed(a_np, fill=0.0, dt=None):
+            a_np = np.asarray(a_np)
+            shape = (Pn, self.n_cap) + a_np.shape[1:]
+            out = np.full(shape, fill, dtype=dt or a_np.dtype)
+            out[d_all, slot] = a_np[order]
+            return out
+
+        xs = packed(x_np)
+        valid = np.zeros((Pn, self.n_cap), bool)
+        valid[d_all, slot] = True
+        # park pads far outside every slab box along +x
+        park = lo + 2.0 * h[0]
+        xs[~valid] = park
+        self.shards = ShardState(
+            x=jnp.asarray(xs, self.dtype),
+            v=jnp.asarray(packed(np.asarray(state.v)), self.dtype),
+            f=jnp.asarray(packed(np.asarray(state.f)), self.dtype),
+            type=jnp.asarray(packed(np.asarray(state.type), 1), jnp.int32),
+            q=jnp.asarray(packed(np.asarray(state.q)), self.dtype),
+            tag=jnp.asarray(packed(np.arange(N), -1), jnp.int32),
+            image=jnp.asarray(packed(image_np, 0), jnp.int32),
+            valid=jnp.asarray(valid),
+            step=jnp.broadcast_to(jnp.asarray(state.step, jnp.int32),
+                                  (Pn,)),
+            extras={})
+        self._mass = jnp.asarray(np.asarray(state.mass), self.dtype)
+
+    def _setup_fix_extras(self, state: State):
+        """Create per-shard fix extras by running setup on a local-shaped
+        template, then tiling across the device axis."""
+        Pn = self.n_devices
+        tmpl = State(
+            x=self.shards.x[0], v=self.shards.v[0], f=self.shards.f[0],
+            type=self.shards.type[0], q=self.shards.q[0],
+            image=self.shards.image[0], mass=self._mass, box=self.box,
+            step=jnp.asarray(0, jnp.int32), extras={})
+        for f in self.fixes:
+            tmpl = f.setup(tmpl, dataclasses.replace(self.ctx, axis=None))
+        extras = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (Pn,) + a.shape), tmpl.extras)
+        self.shards = self.shards.replace(extras=extras)
+
+    def _make_plan(self):
+        requests = self.pair.neighbor_requests()
+        natoms_est = int(self.natoms * (1.0 / self.n_devices
+                                        + 2 * self.margin_frac) * 1.1) + 8
+        self._plan = device_build.make_plan_from_density(
+            self.slab_box, requests, self.skin, natoms_est,
+            slack=max(self.slack, 1.5),
+            cell_tiers=getattr(self.pair, "cell_tiers", ()),
+            mirror_tiers=getattr(self.pair, "mirror_tiers", ()))
+        self._cut_mats = {k: jnp.asarray(v, self.dtype)
+                          for k, v in requests.items()}
+
+    # -- jitted resettle (wrap + migrate + halo + per-shard rebuild) -------
+    def _build_resettle(self):
+        Pn = self.n_devices
+        n_cap, Bh, B = self.n_cap, self.Bh, self.B_mig
+        plan = self._plan
+        cut_mats = self._cut_mats
+        h_g, hinv_g, lo_g = self._h_glob, self._hinv_glob, self._lo_glob
+        h_s, hinv_s = self._h_slab, self._hinv_slab
+        lo_shards = self._lo_shards
+        arow = self._arow
+        m_frac = self.margin_frac
+        park = lo_g + 2.0 * arow
+        perm_r = [(i, (i + 1) % Pn) for i in range(Pn)]
+        perm_l = [(i, (i - 1) % Pn) for i in range(Pn)]
+
+        def mv3(v, m):
+            return jnp.stack(
+                [v[:, 0] * m[0, a] + v[:, 1] * m[1, a] + v[:, 2] * m[2, a]
+                 for a in range(3)], axis=1)
+
+        def local(ss):
+            ss = _sq(ss)
+            d = jax.lax.axis_index(AXIS)
+            valid = ss.valid
+            # global wrap (Domain::pbc) + image bookkeeping
+            fg = mv3(ss.x - lo_g, hinv_g)
+            shift = jnp.floor(fg)
+            per = jnp.asarray([1.0 if p else 0.0
+                               for p in self.box.periodic], self.dtype)
+            shift = shift * per[None, :]
+            xw = mv3(fg - shift, h_g) + lo_g
+            image = ss.image + shift.astype(jnp.int32)
+            fx = (fg - shift)[:, 0]
+
+            slab = jnp.clip((fx * Pn).astype(jnp.int32), 0, Pn - 1)
+            dl = jnp.mod(slab - d, Pn)
+            stay = valid & (dl == 0)
+            go_r = valid & (dl == 1)
+            if Pn == 2:
+                # dl==1 is both "left" and "right" (same peer); route all
+                # movers through the right-going exchange
+                go_l = jnp.zeros_like(go_r)
+            else:
+                go_l = valid & (dl == Pn - 1)
+            lost = valid & ~stay & ~go_r & ~go_l
+
+            rows = (xw, ss.v, ss.f, image, ss.type.astype(jnp.int32),
+                    ss.q, ss.tag)
+            kept, nk, ov_keep = _pack(stay, n_cap, rows)
+            sr, cr, ov_r = _pack(go_r, B, rows)
+            sl_, cl_, ov_l = _pack(go_l, B, rows)
+            vr = jnp.arange(B) < cr
+            vl_ = jnp.arange(B) < cl_
+
+            # exchange migrants with both neighbors
+            recv_l = [jax.lax.ppermute(a, AXIS, perm_r) for a in sr]
+            rv_l = jax.lax.ppermute(vr, AXIS, perm_r)
+            recv_r = [jax.lax.ppermute(a, AXIS, perm_l) for a in sl_]
+            rv_r = jax.lax.ppermute(vl_, AXIS, perm_l)
+
+            kept, c1 = _merge(rv_l, nk, n_cap, kept, recv_l)
+            kept, c2 = _merge(rv_r, nk + c1, n_cap, kept, recv_r)
+            n_new = nk + c1 + c2
+            ov_n = n_new > n_cap
+            x2, v2, f2, im2, t2, q2, tag2 = kept
+            valid2 = jnp.arange(n_cap) < n_new
+            x2 = jnp.where(valid2[:, None], x2, park[None, :])
+            t2 = jnp.where(valid2, t2, 1)
+            tag2 = jnp.where(valid2, tag2, -1)
+
+            # halo export selection from the settled slab
+            fx2 = mv3(x2 - lo_g, hinv_g)[:, 0]
+            sl_loc = fx2 * Pn - d.astype(self.dtype)
+            exp_l_m = valid2 & (sl_loc <= m_frac * Pn)
+            exp_r_m = valid2 & (sl_loc >= 1.0 - m_frac * Pn)
+            slots = jnp.arange(n_cap, dtype=jnp.int32)
+            (er_idx, er_t), ncr, ov_hr = _pack(
+                exp_r_m, Bh, (slots, t2))
+            (el_idx, el_t), ncl, ov_hl = _pack(
+                exp_l_m, Bh, (slots, t2))
+            val_er = jnp.arange(Bh) < ncr
+            val_el = jnp.arange(Bh) < ncl
+
+            # my halos = neighbors' exports
+            val_hl = jax.lax.ppermute(val_er, AXIS, perm_r)
+            t_hl = jax.lax.ppermute(er_t, AXIS, perm_r)
+            x_hl = jax.lax.ppermute(x2[er_idx], AXIS, perm_r)
+            val_hr = jax.lax.ppermute(val_el, AXIS, perm_l)
+            t_hr = jax.lax.ppermute(el_t, AXIS, perm_l)
+            x_hr = jax.lax.ppermute(x2[el_idx], AXIS, perm_l)
+            sl_shift = jnp.where(d == 0, -1.0, 0.0).astype(self.dtype)
+            sr_shift = jnp.where(d == Pn - 1, 1.0, 0.0).astype(self.dtype)
+            x_hl = jnp.where(val_hl[:, None],
+                             x_hl + sl_shift * arow[None, :], park[None, :])
+            x_hr = jnp.where(val_hr[:, None],
+                             x_hr + sr_shift * arow[None, :], park[None, :])
+
+            x_loc = jnp.concatenate([x2, x_hl, x_hr], axis=0)
+            t_loc = jnp.concatenate(
+                [t2, jnp.where(val_hl, t_hl, 1), jnp.where(val_hr, t_hr, 1)])
+            valid_loc = jnp.concatenate([valid2, val_hl, val_hr])
+
+            lo_d = lo_shards[d]
+            zero_im = jnp.zeros((x_loc.shape[0], 3), jnp.int32)
+            xw_loc, _, nbr, flags = device_build.device_rebuild(
+                plan, x_loc, zero_im, t_loc, h_s, hinv_s, lo_d, cut_mats,
+                valid=valid_loc)
+
+            flags = dict(flags)
+            flags["mig_overflow"] = ov_r | ov_l | ov_n | ov_keep
+            flags["halo_overflow"] = ov_hr | ov_hl
+            flags["lost_atoms"] = jnp.sum(lost)
+            flags["count:slab"] = n_new
+            flags["count:halo"] = jnp.maximum(ncr, ncl)
+            flags = {k: jax.lax.pmax(jnp.asarray(v).astype(jnp.int32), AXIS)
+                     for k, v in flags.items()}
+
+            ss2 = ss.replace(x=x2, v=v2, f=f2, image=im2, type=t2, q=q2,
+                             tag=tag2, valid=valid2)
+            halo = HaloTables(exp_r=er_idx, exp_l=el_idx,
+                              val_hl=val_hl, val_hr=val_hr,
+                              t_loc=t_loc, valid_loc=valid_loc)
+            exp = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)
+            return exp(ss2), exp(halo), exp(nbr), flags
+
+        spec = P(AXIS)
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=(spec,),
+            out_specs=(spec, spec, spec, P())))
+
+    def resettle(self, _retry=0):
+        """Wrap + migrate + rebuild halos and neighbor structures."""
+        if self._resettle_jit is None:
+            self._resettle_jit = self._build_resettle()
+        ss, halo, nbr, flags = self._resettle_jit(self.shards)
+        flags_np = jax.device_get(flags)
+        if int(flags_np["lost_atoms"]):
+            raise RuntimeError(
+                f"{int(flags_np['lost_atoms'])} atoms moved more than one "
+                f"slab between reneighbor events — check_every too large")
+        bad = [k for k, v in flags_np.items()
+               if ("overflow" in k) and bool(v)]
+        if bad:
+            if _retry >= 5:
+                raise RuntimeError(f"sharded rebuild overflow persists: "
+                                   f"{flags_np}")
+            self._grow(flags_np, bad)
+            return self.resettle(_retry + 1)
+        self.shards = ss
+        self.halo = halo
+        self.nbr = nbr
+        self._flags = flags_np
+
+    def _grow(self, flags_np, bad):
+        """Re-size capacities from measured counts and retrace."""
+        grow = 1.5
+        if "mig_overflow" in bad:
+            self.B_mig = -(-int(self.B_mig * grow) // 8) * 8
+        if "halo_overflow" in bad or "ghost_overflow" in bad \
+                or any(k.startswith("k_overflow") for k in bad) \
+                or "cell_overflow" in bad or "candcell_overflow" in bad:
+            pass
+        requests = self.pair.neighbor_requests()
+        k_counts = {k.split(":", 2)[2]: max(16, -(-(int(v) + 2) // 16) * 16)
+                    for k, v in flags_np.items() if k.startswith("count:k:")}
+        if any(k.startswith("k_overflow") for k in bad):
+            k_counts = {k: -(-int(v * grow) // 16) * 16
+                        for k, v in k_counts.items()}
+        self._plan = device_build.make_plan(
+            self.slab_box, requests, self.skin,
+            int(flags_np["count:ghost"] * grow) + 8,
+            int(flags_np["count:cell"] * grow) + 4,
+            k_counts, slack=grow, k_final=True,
+            cell_tiers=getattr(self.pair, "cell_tiers", ()),
+            mirror_tiers=getattr(self.pair, "mirror_tiers", ()),
+            cand_occupancy=int(flags_np.get("count:candcell", 4) * grow) + 4)
+        # slab/halo growth (capacity changes require repacking the shards)
+        old_ncap = self.n_cap
+        if "mig_overflow" in bad or int(flags_np["count:slab"]) > self.n_cap:
+            self.n_cap = -(-int(max(flags_np["count:slab"], self.n_cap)
+                                * 1.2) // 8) * 8
+        if "halo_overflow" in bad:
+            self.Bh = -(-int(max(flags_np["count:halo"] * 1.3, self.Bh))
+                        // 8) * 8
+        self.n_loc = self.n_cap + 2 * self.Bh
+        if self.n_cap != old_ncap:
+            # repack the shard state at the new capacity; per-atom fix
+            # extras (e.g. bfield's v0 snapshot) are step-transient and
+            # reset to zeros, scalar/chain extras are preserved
+            old_extras = self.shards.extras
+            st = self.to_state()
+            self._pack_initial(st)
+            extras = jax.tree_util.tree_map(
+                lambda a: (jnp.zeros(a.shape[:1] + (self.n_cap,)
+                                     + a.shape[2:], a.dtype)
+                           if a.ndim >= 2 and a.shape[1] == old_ncap
+                           else a), old_extras)
+            self.shards = self.shards.replace(extras=extras)
+        self._resettle_jit = None
+        self._seg_jit = None
+        self._ev_jit = None
+        self._force_jit = None
+
+    # -- hot step ----------------------------------------------------------
+    def _local_state(self, ss):
+        return State(x=ss.x, v=ss.v, f=ss.f, type=ss.type, q=ss.q,
+                     image=ss.image, mass=self._mass, box=self.box,
+                     step=ss.step, extras=ss.extras)
+
+    def _from_state(self, ss, st):
+        return ss.replace(x=st.x, v=st.v, f=st.f, image=st.image,
+                          step=st.step, extras=st.extras)
+
+    def _build_segment(self, nsteps: int):
+        Pn = self.n_devices
+        n_cap = self.n_cap
+        perm_r = [(i, (i + 1) % Pn) for i in range(Pn)]
+        perm_l = [(i, (i - 1) % Pn) for i in range(Pn)]
+        arow = self._arow
+        h_s = self._h_slab
+        ctx = self.ctx
+        park = self._lo_glob + 2.0 * arow
+
+        def halo_positions(x, halo, d):
+            sl_shift = jnp.where(d == 0, -1.0, 0.0).astype(x.dtype)
+            sr_shift = jnp.where(d == Pn - 1, 1.0, 0.0).astype(x.dtype)
+            x_hl = jax.lax.ppermute(x[halo.exp_r], AXIS, perm_r)
+            x_hr = jax.lax.ppermute(x[halo.exp_l], AXIS, perm_l)
+            x_hl = jnp.where(halo.val_hl[:, None],
+                             x_hl + sl_shift * arow[None, :], park[None, :])
+            x_hr = jnp.where(halo.val_hr[:, None],
+                             x_hr + sr_shift * arow[None, :], park[None, :])
+            return jnp.concatenate([x, x_hl, x_hr], axis=0)
+
+        def local(ss, halo, nbr):
+            ss = _sq(ss)
+            halo = _sq(halo)
+            nbr = _sq(nbr)
+            d = jax.lax.axis_index(AXIS)
+            vmask = ss.valid[:, None]
+
+            def one(ss, _):
+                st = self._local_state(ss)
+                for f in self.fixes:
+                    st = f.initial_integrate(st, ctx)
+                for f in self.fixes:
+                    st = f.post_integrate(st, ctx)
+                x_loc = halo_positions(st.x, halo, d)
+                f_loc = self.pair.forces(x_loc, halo.t_loc, nbr, h_s)
+                st = st.replace(f=f_loc[:n_cap] * vmask)
+                for f in self.fixes:
+                    st = f.post_force(st, ctx)
+                for f in self.fixes:
+                    st = f.final_integrate(st, ctx)
+                for f in self.fixes:
+                    st = f.end_of_step(st, ctx)
+                st = st.replace(step=st.step + 1)
+                return self._from_state(ss, st), None
+
+            ss, _ = jax.lax.scan(one, ss, None, length=nsteps)
+            x_loc = halo_positions(ss.x, halo, d)
+            dsp = x_loc - nbr.x_build
+            d2 = jnp.sum(dsp * dsp, axis=1)
+            maxd = jax.lax.pmax(
+                jnp.max(jnp.where(halo.valid_loc, d2, 0.0)), AXIS)
+            return jax.tree_util.tree_map(lambda a: a[None], ss), maxd
+
+        spec = P(AXIS)
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(spec, spec, spec), out_specs=(spec, P())))
+
+    def _build_forces_once(self):
+        """Forces-only sharded evaluation (LAMMPS setup(): make state.f
+        valid before the first segment's initial half-kick)."""
+        Pn = self.n_devices
+        n_cap = self.n_cap
+        perm_r = [(i, (i + 1) % Pn) for i in range(Pn)]
+        perm_l = [(i, (i - 1) % Pn) for i in range(Pn)]
+        arow = self._arow
+        h_s = self._h_slab
+        park = self._lo_glob + 2.0 * arow
+
+        def local(ss, halo, nbr):
+            ss = _sq(ss)
+            halo = _sq(halo)
+            nbr = _sq(nbr)
+            d = jax.lax.axis_index(AXIS)
+            sl_shift = jnp.where(d == 0, -1.0, 0.0).astype(ss.x.dtype)
+            sr_shift = jnp.where(d == Pn - 1, 1.0, 0.0).astype(ss.x.dtype)
+            x_hl = jax.lax.ppermute(ss.x[halo.exp_r], AXIS, perm_r)
+            x_hr = jax.lax.ppermute(ss.x[halo.exp_l], AXIS, perm_l)
+            x_hl = jnp.where(halo.val_hl[:, None],
+                             x_hl + sl_shift * arow[None, :], park[None, :])
+            x_hr = jnp.where(halo.val_hr[:, None],
+                             x_hr + sr_shift * arow[None, :], park[None, :])
+            x_loc = jnp.concatenate([ss.x, x_hl, x_hr], axis=0)
+            f_loc = self.pair.forces(x_loc, halo.t_loc, nbr, h_s)
+            return (f_loc[:n_cap] * ss.valid[:, None])[None]
+
+        spec = P(AXIS)
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=(spec, spec, spec),
+            out_specs=spec))
+
+    def _setup_forces(self):
+        if self.nbr is None:
+            self.resettle()
+        if getattr(self, "_f_valid", False):
+            return
+        if getattr(self, "_force_jit", None) is None:
+            self._force_jit = self._build_forces_once()
+        f = self._force_jit(self.shards, self.halo, self.nbr)
+        self.shards = self.shards.replace(f=f)
+        self._f_valid = True
+
+    # -- energy / thermo ---------------------------------------------------
+    def _build_ev(self):
+        Pn = self.n_devices
+        n_cap = self.n_cap
+        h_s = self._h_slab
+        perm_r = [(i, (i + 1) % Pn) for i in range(Pn)]
+        perm_l = [(i, (i - 1) % Pn) for i in range(Pn)]
+        arow = self._arow
+        park = self._lo_glob + 2.0 * arow
+
+        def local(ss, halo, nbr):
+            ss = _sq(ss)
+            halo = _sq(halo)
+            nbr = _sq(nbr)
+            d = jax.lax.axis_index(AXIS)
+            sl_shift = jnp.where(d == 0, -1.0, 0.0).astype(ss.x.dtype)
+            sr_shift = jnp.where(d == Pn - 1, 1.0, 0.0).astype(ss.x.dtype)
+
+            def e_of(x, strain):
+                x_hl = jax.lax.ppermute(x[halo.exp_r], AXIS, perm_r)
+                x_hr = jax.lax.ppermute(x[halo.exp_l], AXIS, perm_l)
+                x_hl = jnp.where(halo.val_hl[:, None],
+                                 x_hl + sl_shift * arow[None, :],
+                                 park[None, :])
+                x_hr = jnp.where(halo.val_hr[:, None],
+                                 x_hr + sr_shift * arow[None, :],
+                                 park[None, :])
+                x_loc = jnp.concatenate([x, x_hl, x_hr], axis=0)
+                owned = jnp.concatenate(
+                    [ss.valid, jnp.zeros(x_loc.shape[0] - n_cap, bool)])
+                e = self.pair.energy(x_loc, strain, halo.t_loc, nbr, h_s,
+                                     center_mask=owned)
+                return jax.lax.psum(e, AXIS)
+
+            strain0 = jnp.zeros((3, 3), ss.x.dtype)
+            E, gs = jax.value_and_grad(e_of, argnums=1)(ss.x, strain0)
+            m = self._mass[ss.type] * ss.valid
+            v = ss.v
+            kin = jnp.stack([jnp.stack(
+                [jnp.sum(m * v[:, a] * v[:, b]) for b in range(3)])
+                for a in range(3)])
+            kin = jax.lax.psum(kin, AXIS)
+            return E, -gs, kin
+
+        spec = P(AXIS)
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=(spec, spec, spec),
+            out_specs=(P(), P(), P())))
+
+    def thermo(self) -> dict:
+        """One thermo row (reductions via psum — the MPI_Allreduce
+        analogue, fix_bfield.cpp:545); conventions match run/thermo.py."""
+        if self.nbr is None:
+            self.resettle()
+        if self._ev_jit is None:
+            self._ev_jit = self._build_ev()
+        E, W, kin = jax.device_get(
+            self._ev_jit(self.shards, self.halo, self.nbr))
+        u = self.units
+        N = self.natoms
+        kin = u.mvv2e * np.asarray(kin, np.float64)   # kinetic tensor
+        ke = 0.5 * float(np.trace(kin))
+        T = 2.0 * ke / ((3 * N - 3) * u.boltz)
+        vol = float(abs(np.linalg.det(self.box.h_np())))
+        press = float(np.trace(kin + np.asarray(W, np.float64))) / 3.0 \
+            / vol * u.nktv2p
+        step = int(jax.device_get(self.shards.step)[0])
+        return {"step": step, "temp": T, "pe": float(E), "ke": ke,
+                "etotal": float(E) + ke, "press": press, "vol": vol}
+
+    # -- main loop ---------------------------------------------------------
+    def _segment(self, seg: int):
+        if self._seg_jit is None:
+            self._seg_jit = {}
+        if seg not in self._seg_jit:
+            self._seg_jit[seg] = self._build_segment(seg)
+        return self._seg_jit[seg](self.shards, self.halo, self.nbr)
+
+    def run(self, nsteps: int, thermo_every: int = 0):
+        self._setup_forces()
+        rows = []
+        if thermo_every:
+            rows.append(self.thermo())
+        half_skin_sq = (0.5 * self.skin) ** 2
+        done = 0
+        while done < nsteps:
+            seg = min(self.check_every, nsteps - done)
+            if thermo_every:
+                seg = min(seg, thermo_every - (done % thermo_every))
+            start = self.shards
+            new_ss, maxd = self._segment(seg)
+            if float(maxd) > half_skin_sq:
+                # redo the segment from the checkpoint with fresh lists
+                # (bitwise equivalent to per-step checking; list slack
+                # does not change physics)
+                self.shards = start
+                self.resettle()
+                new_ss, maxd = self._segment(seg)
+                self.shards = new_ss
+                if float(maxd) > half_skin_sq:
+                    self.resettle()
+            else:
+                self.shards = new_ss
+            done += seg
+            if thermo_every and done % thermo_every == 0:
+                rows.append(self.thermo())
+        self.thermo_rows = rows
+        return rows
+
+    # -- gather back -------------------------------------------------------
+    def to_state(self) -> State:
+        """Reassemble a global State (ordered by original atom id)."""
+        ss = jax.device_get(self.shards)
+        valid = np.asarray(ss.valid).reshape(-1)
+        tag = np.asarray(ss.tag).reshape(-1)[valid]
+        order = np.argsort(tag)
+
+        def unpack(a):
+            flat = np.asarray(a).reshape((-1,) + a.shape[2:])[valid]
+            return flat[order]
+
+        return State(
+            x=jnp.asarray(unpack(ss.x), self.dtype),
+            v=jnp.asarray(unpack(ss.v), self.dtype),
+            f=jnp.asarray(unpack(ss.f), self.dtype),
+            type=jnp.asarray(unpack(ss.type), jnp.int32),
+            q=jnp.asarray(unpack(ss.q), self.dtype),
+            image=jnp.asarray(unpack(ss.image), jnp.int32),
+            mass=self._mass, box=self.box,
+            step=jnp.asarray(int(np.asarray(ss.step)[0]), jnp.int32),
+            extras={})

@@ -122,16 +122,19 @@ def build_shards(state: State, pair: PairStyle, n_devices: int,
     xs[..., 0] = 1e6
     ts = np.ones((Pn, n), np.int32)
     cmask = np.zeros((Pn, n), bool)
-    perm = np.zeros(N, np.int64)
-    slot_ctr = np.zeros(Pn, np.int64)
-    for i in range(N):
-        d = slab_of[i]
-        s = slot_ctr[d]
-        xs[d, s] = x_np[i]
-        ts[d, s] = t_np[i]
-        cmask[d, s] = True
-        perm[i] = d * n + s
-        slot_ctr[d] += 1
+    # vectorized slab packing: stable sort by slab, then slot = rank
+    # within the slab (order preserves original index order per slab,
+    # matching the old per-atom loop exactly)
+    order = np.argsort(slab_of, kind="stable")
+    starts = np.zeros(Pn + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    slot_sorted = np.arange(N) - starts[slab_of[order]]
+    perm = np.empty(N, np.int64)
+    perm[order] = slab_of[order] * n + slot_sorted
+    d_all, s_all = slab_of, perm[np.arange(N)] % n
+    xs[d_all, s_all] = x_np
+    ts[d_all, s_all] = t_np
+    cmask[d_all, s_all] = True
 
     # halo wrap shifts: left halo comes from slab (d-1)%P — shifted by -a
     # when it wraps; right halo from (d+1)%P — shifted by +a on wrap
@@ -234,9 +237,7 @@ def build_shards(state: State, pair: PairStyle, n_devices: int,
     jdtype = state.x.dtype
     v_np = np.asarray(state.v)
     vs = np.zeros((Pn, n, 3), dtype)
-    for i in range(N):
-        d, s = divmod(perm[i], n)
-        vs[d, s] = v_np[i]
+    vs[d_all, s_all] = v_np
 
     return SpatialShards(
         x=jnp.asarray(xs, jdtype), v=jnp.asarray(vs, jdtype),

@@ -140,6 +140,21 @@ class AEAM(PairStyle):
                 pairrows[k, :, 0:7] = rhor[k]
                 pairrows[k, :, 7:14] = z2r[z2r_map[i, j]]
         self.pair_flat = as_d(pairrows.reshape(-1, 14))
+        # 21-wide rows for the fast force path: [rhor_ij | z2r | rhor_ji].
+        # The reverse-direction density spline f'_ji rides the SAME row
+        # gather (possible because the file's r-grids are per unordered
+        # pair: dr[i,j] == dr[j,i]) — the TPU analogue of the reference's
+        # fp forward communication (pair_aeam.cpp:307) costing zero extra
+        # gathers.  Tile padding makes the extra columns free.
+        self._sym_grids = bool(np.allclose(t.dr, t.dr.T)
+                               and np.array_equal(t.nr, t.nr.T))
+        if self._sym_grids:
+            rows21 = np.zeros((nel * nel, nrmax + 1, 21))
+            rows21[:, :, :14] = pairrows
+            for i in range(nel):
+                for j in range(nel):
+                    rows21[i * nel + j, :, 14:21] = rhor[j * nel + i]
+            self.pair_flat21 = as_d(rows21.reshape(-1, 21))
 
     def prepare(self, types_np: np.ndarray) -> None:
         """Precompute the angular-center index set (static per system).
@@ -341,8 +356,12 @@ class AEAM(PairStyle):
             embed = jnp.where(center_mask, embed, 0.0)
         e_embed = jnp.sum(embed)
 
-        # pair term: full cut (cpp:350), half per directed edge (cpp:387)
+        # pair term: full cut (cpp:350), half per directed edge (cpp:387).
+        # Under sharding only owned-centered directed edges count (the
+        # reverse direction is owned by the neighbor shard).
         in_pair = mask & (r <= cut_ij)
+        if center_mask is not None:
+            in_pair = in_pair & center_mask[:, None]
         e_pair = 0.5 * jnp.sum(jnp.where(in_pair, phi, 0.0))
 
         return e_embed + e_pair
@@ -351,10 +370,21 @@ class AEAM(PairStyle):
     mirror_tiers = ("main",)
 
     def forces(self, x, types, nbr: NeighborData, h):
-        """Scatter-free forces via the mirror-edge bijection when the
-        rebuild provided a mirror table (the autodiff-transpose scatter of
-        the edge gather costs ~15x more on TPU); plain -grad(E) otherwise."""
+        """Forces without per-edge mirror gathers (the fast path) when the
+        file's r-grids are symmetric; mirror-bijection autodiff otherwise.
+
+        The fast path exploits that for NON-angular centers the edge
+        cotangent is radial, G_e = s_e * d_e, so the newton reaction of
+        edge (j, i) onto i is computable AT edge (i, j) from purely local
+        data: s_mir = F'_j f'_ji(r) + phi'(r)/2 — the reference's fp
+        forward-comm (pair_aeam.cpp:307) turned into one packed row
+        gather.  This removed the [N*K, 3] mirror gather that was 70% of
+        the AEAM step (125 of 170 ms at 32k atoms, K=256).  Angular
+        centers (the compacted Si subset) keep exact autodiff cotangents;
+        their newton reaction is a small scatter."""
         main = nbr.lists["main"]
+        if self._sym_grids:
+            return self._forces_fast(x, types, nbr, h)
         if main.mirror is None:
             return super().forces(x, types, nbr, h)
         from ..neighbor.neighbor import mirror_combine
@@ -374,8 +404,151 @@ class AEAM(PairStyle):
                                      el_own, el_all, main)
 
         _, vjp = jax.vjp(e_of_d, dx, dy, dz)
-        gx, gy, gz = vjp(jnp.ones((), x.dtype))
+        gx, gy, gz = vjp(jnp.ones((), x.dtype) + 0.0 * x[0, 0])
         return mirror_combine(gx, gy, gz, main)
+
+    def _embed_deriv(self, ei, p_arg):
+        """dF/drho from the derivative coefficient rows (cpp:940 fp)."""
+        n = self.frho_n[ei]
+        m = jnp.clip(jnp.floor(p_arg).astype(jnp.int32), 1, n - 1)
+        p = jnp.minimum(p_arg - m, 1.0)
+        c = self.frho_spline[ei, m]
+        return (c[..., 0] * p + c[..., 1]) * p + c[..., 2]
+
+    def _forces_fast(self, x, types, nbr: NeighborData, h):
+        """See forces().  Gather budget: positions [M,3], spline rows
+        [.,21], F'_j [M,3] — three row gathers, no mirror, no scatter
+        except the tiny angular subset."""
+        ghosts = nbr.ghosts
+        main = nbr.lists["main"]
+        idx, mask = main.idx, main.mask
+        el_own = self.typemap[types]
+        el_all = self.typemap[ghosts.all_types(types)]
+        n = x.shape[0]
+
+        x_all = ghosts.all_positions(x, h)
+        D = x_all[idx]                                # [N,K,3] row gather
+        dx = D[..., 0] - x[:, 0][:, None]
+        dy = D[..., 1] - x[:, 1][:, None]
+        dz = D[..., 2] - x[:, 2][:, None]
+        rsq = jnp.where(mask, dx * dx + dy * dy + dz * dz, 1.0)
+        r = jnp.sqrt(rsq)
+
+        ei = el_own[:, None]
+        ej = self._jel(main, el_all)
+        ang_i = ei >= self.nnonangular
+        ang_j = ej >= self.nnonangular
+        ang_center = el_own >= self.nnonangular
+        cut_ij = self._cut_ij(ei, ej, r.shape)
+        leg_cut = cut_ij - jnp.where(ang_i & ang_j, CUTDEC, 0.0)
+        in_leg = mask & (r <= leg_cut)
+        in_pair = mask & (r <= cut_ij)
+
+        tab = jnp.broadcast_to(ei * self.nel + ej, r.shape)
+        p_raw = r * self._sel_tab(tab, self.rhor_rdr_np) + 1.0
+        nknot = self._sel_tab(tab, self.rhor_nr_np).astype(jnp.int32)
+        m = jnp.minimum(jnp.floor(p_raw).astype(jnp.int32), nknot - 1)
+        p = jnp.minimum(p_raw - m, 1.0)
+        c = self.pair_flat21[tab * self.rhor_stride + m]   # [N,K,21]
+        f_ij = ((c[..., 3] * p + c[..., 4]) * p + c[..., 5]) * p + c[..., 6]
+        fp_ij = (c[..., 0] * p + c[..., 1]) * p + c[..., 2]
+        phip = (c[..., 7] * p + c[..., 8]) * p + c[..., 9]
+        fp_ji = (c[..., 14] * p + c[..., 15]) * p + c[..., 16]
+
+        # density field (linear everywhere; angular subset replaces below)
+        fw = jnp.where(in_leg, f_ij, 0.0)
+        rho = jnp.sum(fw, axis=1)
+        sel = self._ang_sel
+        if sel is not None and sel.shape[0] > 0:
+            dots = (dx[sel][:, :, None] * dx[sel][:, None, :]
+                    + dy[sel][:, :, None] * dy[sel][:, None, :]
+                    + dz[sel][:, :, None] * dz[sel][:, None, :])
+            cs = dots / (r[sel][:, :, None] * r[sel][:, None, :])
+            K = main.capacity
+            nd = ~jnp.eye(K, dtype=bool)[None]
+            pw = fw[sel][:, :, None] * fw[sel][:, None, :] \
+                * jnp.where(nd, 1.0, 0.0)
+            rho = rho.at[sel].set(jnp.sum(pw * (cs + 1.0 / 3.0) ** 2,
+                                          axis=(1, 2)))
+        elif sel is None:
+            # no compaction (majority angular): fall back to autodiff
+            return PairStyle.forces(self, x, types, nbr, h)
+
+        # embedding derivative F'(rho) with the minrho guard (cpp:329-332)
+        live = rho > MINRHO
+        rho_safe = jnp.where(live, rho, 1.0)
+        rho_pow = jnp.where(ang_center, jnp.sqrt(rho_safe), rho_safe)
+        p_arg = rho_pow * self.frho_rdrho[el_own] + 1.0
+        Fp = self._embed_deriv(el_own, p_arg)
+        # linear-center chain only; angular centers are exact via the
+        # subset vjp below (their sqrt/minrho chain included there)
+        Fp_lin = jnp.where(live & ~ang_center, Fp, 0.0)   # [N]
+
+        # F'_j per edge: packed [M, 3] row gather (fp forward-comm)
+        fp3 = jnp.stack([jnp.concatenate([Fp_lin, Fp_lin[ghosts.owner]]),
+                         jnp.zeros(x_all.shape[0], x.dtype),
+                         jnp.zeros(x_all.shape[0], x.dtype)], axis=1)
+        Fp_j = fp3[idx][..., 0]                            # [N,K]
+
+        s_own = Fp_lin[:, None] * jnp.where(in_leg, fp_ij, 0.0)
+        s_mir = Fp_j * jnp.where(in_leg, fp_ji, 0.0)
+        s_pair = jnp.where(in_pair, phip, 0.0)
+        s = jnp.where(mask, (s_own + s_mir + s_pair) / r, 0.0)
+        fx = jnp.sum(s * dx, axis=1)
+        fy = jnp.sum(s * dy, axis=1)
+        fz = jnp.sum(s * dz, axis=1)
+        force = jnp.stack([fx, fy, fz], axis=1)
+
+        if sel is not None and sel.shape[0] > 0:
+            # angular centers: exact cotangents of the angular embedding
+            # energy on the compacted subset + scatter reaction
+            idxB = idx[sel]
+            maskB = mask[sel]
+            in_legB = in_leg[sel]
+            f_ijB = f_ij[sel]
+            fp_ijB = fp_ij[sel]
+            el_sel = el_own[sel]
+
+            def e_ang(dxB, dyB, dzB):
+                rsqB = jnp.where(maskB, dxB ** 2 + dyB ** 2 + dzB ** 2, 1.0)
+                rB = jnp.sqrt(rsqB)
+                # f(r) re-linearized around the gathered rows: value +
+                # derivative * (rB - r) keeps the row gather out of the
+                # vjp while matching the spline's local slope exactly
+                fB = jnp.where(in_legB,
+                               f_ijB + fp_ijB * (rB - r[sel]), 0.0)
+                dots = (dxB[:, :, None] * dxB[:, None, :]
+                        + dyB[:, :, None] * dyB[:, None, :]
+                        + dzB[:, :, None] * dzB[:, None, :])
+                cs = dots / (rB[:, :, None] * rB[:, None, :])
+                K = main.capacity
+                nd = ~jnp.eye(K, dtype=bool)[None]
+                pw = fB[:, :, None] * fB[:, None, :] \
+                    * jnp.where(nd, 1.0, 0.0)
+                rhoB = jnp.sum(pw * (cs + 1.0 / 3.0) ** 2, axis=(1, 2))
+                liveB = rhoB > MINRHO
+                rhoB_safe = jnp.where(liveB, rhoB, 1.0)
+                pow_live = jnp.sqrt(rhoB_safe)
+                pow_dead = jax.lax.stop_gradient(
+                    jnp.sqrt(jnp.where(liveB, 1.0, jnp.maximum(rhoB, 0.0))))
+                rho_powB = jnp.where(liveB, pow_live, pow_dead)
+                p_argB = rho_powB * self.frho_rdrho[el_sel] + 1.0
+                return jnp.sum(self._embed(el_sel, p_argB))
+
+            _, vjp = jax.vjp(e_ang, dx[sel], dy[sel], dz[sel])
+            gxB, gyB, gzB = vjp(jnp.ones((), x.dtype) + 0.0 * x[0, 0])
+            force = force.at[sel].add(
+                jnp.stack([jnp.sum(gxB, 1), jnp.sum(gyB, 1),
+                           jnp.sum(gzB, 1)], axis=1))
+            # newton reaction onto the (possibly ghost) targets
+            gB = jnp.stack([gxB, gyB, gzB], axis=-1)       # [Na,K,3]
+            m_all = x_all.shape[0]
+            tgt = jnp.where(maskB, idxB, m_all)
+            sc = jnp.zeros((m_all + 1, 3), x.dtype).at[
+                tgt.reshape(-1)].add(-gB.reshape(-1, 3), mode="drop")
+            force = force + sc[:n]
+            force = force.at[ghosts.owner].add(sc[n:m_all], mode="drop")
+        return force
 
     def energy_peratom(self, x, types, nbr: NeighborData, h):
         """Per-atom energies exactly as the reference tallies them:

@@ -60,6 +60,20 @@ class PairStyle:
         return max(float(np.max(np.asarray(c)))
                    for c in self.neighbor_requests().values())
 
+    def ghost_margin(self, skin: float) -> float:
+        """Halo width required for exact owned forces under sharding.
+
+        With halo-as-owned force evaluation, a halo atom h whose edge
+        mirrors into an owned force sum (r(h, owned) <= tier_cut + skin)
+        needs its own many-body environment complete (another tier_mb +
+        skin), so the halo must extend tier_cut + tier_mb + 2*skin for
+        every many-body tier — the TPU analogue of LAMMPS cutghost
+        (pair_rebomos.cpp:261 adds cutghost = rcmax on top of the master
+        list for exactly this).  The conservative default doubles the max
+        cutoff; styles override with their per-tier structure.
+        """
+        return 2.0 * (self.max_cutoff() + skin)
+
     # ------------------------------------------------------------------
     def energy_force_virial(self, x, types, nbr, h):
         """(E, F, W): energy, forces = -dE/dx, virial tensor = -dE/dstrain."""

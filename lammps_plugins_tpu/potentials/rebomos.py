@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..neighbor.neighbor import edge_components
+from ..neighbor.neighbor import NeighborList, edge_components
 from ..neighbor.build import NeighborData
 from .base import PairStyle, register_pair_style
 from .tables import REBOMoSTables, read_rebomos
@@ -173,6 +173,16 @@ class REBOMoS(PairStyle):
                 rebo[i, j] = t.rcmax[ei, ej]
         return {"master": master, "rebo": rebo}
 
+    def ghost_margin(self, skin: float) -> float:
+        """Halo width for sharding: the LJ reach (pairwise) or two REBO
+        hops (bondorder of a halo center within rcmax of an owned atom
+        needs that center's own rcmax neighborhood), whichever is larger.
+        For set5b the LJ reach 2.5*sigma_MM = 10.46 A dominates."""
+        t = self.tables
+        rcmax = float(np.max(t.rcmax))
+        ljmax = float(np.max(t.rcLJmax))
+        return max(ljmax + skin, 2.0 * (rcmax + skin))
+
     def _jel(self, nlist, el_all):
         """Per-edge neighbor element: from the rebuild-time jtype cache via
         a short select chain (per-type), falling back to the el_all gather
@@ -190,23 +200,38 @@ class REBOMoS(PairStyle):
 
     def energy(self, x, strain, types, nbr: NeighborData, h,
                center_mask=None):
-        # all energy terms are per-edge and the list masks already restrict
-        # centers, so center_mask needs no extra handling here
-        del center_mask
+        """center_mask: [N] bool marking true owned centers.  Under the
+        sharded engine x carries halo atoms as pseudo-owned rows; their
+        directed edges are owned (and summed) by another shard, so they
+        are masked out of every tier here (each directed edge is counted
+        by exactly one shard globally)."""
         ghosts = nbr.ghosts
         el_own = self.typemap[types]                      # [N]
         el_all = self.typemap[ghosts.all_types(types)]    # [N+Mg]
 
+        rebo = nbr.lists["rebo"]
+        if center_mask is not None:
+            rebo = NeighborList(idx=rebo.idx,
+                                mask=rebo.mask & center_mask[:, None],
+                                jtype=rebo.jtype, mirror=rebo.mirror)
         e_rebo = self._rebo_energy(x, strain, el_own, el_all, ghosts,
-                                   nbr.lists["rebo"], h)
+                                   rebo, h)
         if "master" in nbr.lists:
+            master = nbr.lists["master"]
+            if center_mask is not None:
+                master = NeighborList(
+                    idx=master.idx,
+                    mask=master.mask & center_mask[:, None],
+                    jtype=master.jtype, mirror=master.mirror)
             e_lj = self._lj_energy(x, strain, el_own, el_all, ghosts,
-                                   nbr.lists["master"], h)
+                                   master, h)
         else:
-            e_lj = self._lj_energy_cells(x, strain, ghosts, nbr.cells, h)
+            e_lj = self._lj_energy_cells(x, strain, ghosts, nbr.cells, h,
+                                         center_mask=center_mask)
         return e_rebo + e_lj
 
-    def _lj_energy_cells(self, x, strain, ghosts, cells, h):
+    def _lj_energy_cells(self, x, strain, ghosts, cells, h,
+                         center_mask=None):
         """Switched LJ over the dense cell decomposition.
 
         For each cell and each of its 14 half-offset neighbor cells
@@ -233,8 +258,16 @@ class REBOMoS(PairStyle):
         for t_ in range(1, len(self.typemap_np)):
             cel = jnp.where(cells.jtype == t_, int(self.typemap_np[t_]), cel)
         valid = cells.table < m_all
-        ownedf = jnp.where(cells.table < cells.n_owned,
-                           jnp.asarray(1.0, x.dtype), 0.0)
+        if center_mask is None:
+            ownedf = jnp.where(cells.table < cells.n_owned,
+                               jnp.asarray(1.0, x.dtype), 0.0)
+        else:
+            # true-ownership vector (halo pseudo-owned rows excluded);
+            # ghosts and the pad row carry 0
+            own_pad = jnp.concatenate([
+                center_mask.astype(x.dtype),
+                jnp.zeros(m_all + 1 - center_mask.shape[0], x.dtype)])
+            ownedf = own_pad[cells.table]
 
         ncells = cells.nbr_map.shape[0]
         noffs = cells.nbr_map.shape[1]
@@ -273,8 +306,11 @@ class REBOMoS(PairStyle):
 
         # remat the per-offset body: without it, reverse-mode saves every
         # offset's [ncells, C, C] intermediates (GBs at 100k atoms)
-        e, _ = jax.lax.scan(one_offset, jnp.zeros((), x.dtype),
-                            (cells.nbr_map.T, scale))
+        # carry seeded from x so its shard_map varying-axis type matches
+        # the loop body's output (plain zeros are 'unvarying' under
+        # shard_map and scan rejects the carry-type mismatch)
+        e0 = jnp.zeros((), x.dtype) + 0.0 * x[0, 0]
+        e, _ = jax.lax.scan(one_offset, e0, (cells.nbr_map.T, scale))
         return e
 
     # -- analytic forces (hot path) -----------------------------------------
@@ -409,7 +445,9 @@ class REBOMoS(PairStyle):
                                           rebo, el_own, el_all)
 
         _, vjp = jax.vjp(e_of_d, dx, dy, dz)
-        gx, gy, gz = vjp(jnp.ones((), x.dtype))
+        # cotangent seeded from x: under shard_map the output is
+        # axis-varying and the vjp rejects an unvarying cotangent
+        gx, gy, gz = vjp(jnp.ones((), x.dtype) + 0.0 * x[0, 0])
         from ..neighbor.neighbor import mirror_combine
         return mirror_combine(gx, gy, gz, rebo)
 
@@ -435,7 +473,7 @@ class REBOMoS(PairStyle):
         jelT = padT(self._jel(rebo, el_all).astype(dtype))
         eiT = jnp.pad(el_own.astype(dtype).reshape(1, N),
                       ((0, 7), (0, Np - N)))
-        # mirror slot (flat over the [N,K] edge set) -> flat over [K,Np]
+        # mirror slot (flat over the [N,K] edge set) -> flat over [K*Np]
         mir = rebo.mirror
         mir_ok = rebo.mask & (mir >= 0)
         mir_safe = jnp.maximum(mir, 0)
@@ -443,20 +481,26 @@ class REBOMoS(PairStyle):
                               0))
         mirvT = padT(mir_ok.astype(dtype))
 
+        # Displacements via ONE row gather in transposed edge order
+        # ([M,3] source rows; per-component element gathers from 1-D
+        # columns get flattened to a {0:T(1024)} scalar path by XLA —
+        # measured 22 ms each vs ~6 ms for the row form)
         x_all = ghosts.all_positions(x, h)
+        rows = x_all[idxT.reshape(-1)].reshape(K, Np, 3)
         xT = [jnp.pad(x[:, a], (0, Np - N)) for a in range(3)]
-        dxT = x_all[:, 0][idxT] - xT[0][None, :]
-        dyT = x_all[:, 1][idxT] - xT[1][None, :]
-        dzT = x_all[:, 2][idxT] - xT[2][None, :]
+        dxT = rows[..., 0] - xT[0][None, :]
+        dyT = rows[..., 1] - xT[1][None, :]
+        dzT = rows[..., 2] - xT[2][None, :]
 
         consts_key = tuple(sorted(self._rebo_consts.items()))
         gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
                                 consts_key=consts_key, interpret=interpret)
-        cols = []
-        for g in (gx, gy, gz):
-            gm = g.reshape(-1)[mirT] * mirvT
-            cols.append(jnp.sum(g, axis=0) - jnp.sum(gm, axis=0))
-        return jnp.stack(cols, axis=1)[:N]
+        # mirror combine, same row-gather trick on [K*Np, 3] rows
+        grows = jnp.stack([gx, gy, gz], axis=-1).reshape(K * Np, 3)
+        gmir = grows[mirT.reshape(-1)].reshape(K, Np, 3) * mirvT[..., None]
+        fsum = jnp.sum(jnp.stack([gx, gy, gz], axis=-1), axis=0) \
+            - jnp.sum(gmir, axis=0)                     # [Np, 3]
+        return fsum[:N]
 
     def _fpair_lj(self, ei, ej, r, rsq):
         """-(dV/dr)/r for the switched LJ (pair_rebomos.cpp:518-543):
@@ -547,8 +591,9 @@ class REBOMoS(PairStyle):
             fb = fb.at[nb_col].add(fbcol, mode="drop")
             return (fa0, fa1, fa2, fb), None
 
-        z2 = jnp.zeros((ncells, C), x.dtype)
-        fb0 = jnp.zeros((ncellsP, C, 3), x.dtype)
+        zseed = 0.0 * x[0, 0]
+        z2 = jnp.zeros((ncells, C), x.dtype) + zseed
+        fb0 = jnp.zeros((ncellsP, C, 3), x.dtype) + zseed
         (fa0, fa1, fa2, fb), _ = jax.lax.scan(
             one_offset, (z2, z2, z2, fb0), (cells.nbr_map.T, scale))
         ftab = fb.at[:ncells].add(jnp.stack([fa0, fa1, fa2], axis=-1))
@@ -733,7 +778,8 @@ class REBOMoS(PairStyle):
                 jnp.sum(eb, axis=1).reshape(-1))
             return eat, None
 
-        eat, _ = jax.lax.scan(one_offset, jnp.zeros(n, x.dtype),
+        eat, _ = jax.lax.scan(one_offset,
+                              jnp.zeros(n, x.dtype) + 0.0 * x[0, 0],
                               (cells.nbr_map.T, scale))
         return eat
 

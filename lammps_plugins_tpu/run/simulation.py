@@ -416,6 +416,14 @@ class Engine:
                         self.rebuild_neighbors()
             else:
                 self.state = new_state
+                # proactive rebuild: once displacement passes 80% of the
+                # half-skin bound, the NEXT segment would almost surely
+                # trip and be re-run (2x its cost on hot systems, e.g.
+                # sample.in at 863 K trips every ~25 steps).  Rebuilding
+                # now costs one warm rebuild instead of a redone segment.
+                if float(maxdisp_sq) > (0.8 ** 2) * half_skin_sq:
+                    with self.timers.section("Neigh"):
+                        self.rebuild_neighbors()
 
             done += seg
             if thermo_every and done % thermo_every == 0:

@@ -175,3 +175,40 @@ def test_mirror_forces_match_autodiff(aeam_file):
     f_ad = -jax.grad(lambda x_: pair.energy(x_, None, st.type, nbr, h))(st.x)
     np.testing.assert_allclose(np.asarray(f_mir), np.asarray(f_ad),
                                atol=1e-9)
+
+
+def test_fast_forces_match_autodiff(aeam_pair):
+    """The gather-lean force path (radial cotangents + local mirror
+    values + angular-subset vjp, see AEAM._forces_fast) must equal the
+    autodiff gradient of the energy to rounding — including with a
+    concentrated angular (Si) population exercising the subset scatter."""
+    from lammps_plugins_tpu.fixes.velocity import set_type_fraction
+    from lammps_plugins_tpu.fixes.velocity import velocity_create
+    from lammps_plugins_tpu.potentials.base import PairStyle
+
+    a = 4.045
+    lat = Lattice.fcc(a)
+    box = Box.orthogonal([a * 4] * 3)
+    pos, types = create_atoms_box(lat, box, [1, 1, 1, 1])
+    state = State.create(x=jnp.asarray(pos), type=types, box=box,
+                         mass=aeam_pair.masses)
+    # 30% Si: many angular centers, angular-angular CutDec legs active
+    state = set_type_fraction(state, 2, 0.30, seed=9)
+    state = velocity_create(state, units.METAL, 900.0, seed=5)
+    eng = Engine(state, aeam_pair, [FixNVE()], units.METAL,
+                 device_rebuild=False)
+    eng.evaluate()
+    eng.run(10)
+    st, nbr = eng.state, eng.nbr
+    aeam_pair.prepare(np.asarray(st.type))
+    nang = int((aeam_pair.typemap_np[np.asarray(st.type)]
+                >= aeam_pair.nnonangular).sum())
+    assert nang > 30
+    f_ad = np.asarray(PairStyle.forces(aeam_pair, st.x, st.type, nbr,
+                                       st.box.h))
+    f_fast = np.asarray(aeam_pair._forces_fast(st.x, st.type, nbr,
+                                               st.box.h))
+    scale = np.abs(f_ad).max()
+    assert scale > 0.01
+    np.testing.assert_allclose(f_fast, f_ad, atol=1e-12 * scale,
+                               rtol=1e-12)

@@ -39,11 +39,17 @@ class StepContext:
 
     def asum(self, value):
         """Sum a per-shard scalar across the device axis (identity when
-        unsharded) — the MPI_Allreduce analogue (fix_bfield.cpp:545)."""
+        unsharded) — the MPI_Allreduce analogue (fix_bfield.cpp:545).
+
+        The result is re-marked axis-varying (pcast) so it can be stored
+        back into per-shard state.extras leaves inside a scanned sharded
+        step (shard_map's varying-axes check requires carry in/out types
+        to match; the replicated total is simply carried per shard)."""
         if self.axis is None:
             return value
         import jax
-        return jax.lax.psum(value, self.axis)
+        total = jax.lax.psum(value, self.axis)
+        return jax.lax.pcast(total, self.axis, to="varying")
 
 
 class Fix:

@@ -204,9 +204,10 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
             (k, max(8, -(-int(v) // 8) * 8) if k_final else pad8(v))
             for k, v in k_counts.items() if k not in cell_tiers)),
         cell_dims=cell_dims, cell_size=cell_size,
-        # tighter slack for the coarse cells: the Pallas LJ kernel's work
-        # scales with C (sublane count); overflow recovery handles misses
-        cell_capacity=max(8, -(-int(max(max_cell_occupancy, 4) * 1.08)
+        # tight slack for the coarse cells: the Pallas LJ kernel's work
+        # scales with C^2 per cell pair, so every 8 slots of padding costs
+        # ~15% of the LJ kernel; overflow recovery handles misses
+        cell_capacity=max(8, -(-int(max(max_cell_occupancy, 4) * 1.03 + 2)
                                // 8) * 8),
         cell_tiers=tuple(sorted(cell_tiers)),
         list_cut=list_cut, skin=skin,

@@ -147,7 +147,7 @@ class ShardedEngine:
                  units: UnitSystem, n_devices: int | None = None,
                  dt: float | None = None, skin: float | None = None,
                  check_every: int = 10, slack: float = 1.4):
-        self.pair = pair
+        self.pair = pair.for_sharded()
         self.fixes = list(fixes)
         self.units = units
         self.skin = skin if skin is not None else units.skin
@@ -180,7 +180,7 @@ class ShardedEngine:
         self._resettle_jit = None
         self._seg_jit = None
         self._ev_jit = None
-        pair.prepare(np.asarray(state.type))
+        self.pair.prepare(np.asarray(state.type))
         self.thermo_rows: List[dict] = []
 
     # -- host-side setup ---------------------------------------------------
@@ -447,6 +447,12 @@ class ShardedEngine:
             if _retry >= 5:
                 raise RuntimeError(f"sharded rebuild overflow persists: "
                                    f"{flags_np}")
+            import logging
+            logging.getLogger(__name__).info(
+                "sharded capacity regrow (retry %d): %s, counts %s",
+                _retry, bad,
+                {k: int(v) for k, v in flags_np.items()
+                 if k.startswith("count:")})
             self._grow(flags_np, bad)
             return self.resettle(_retry + 1)
         self.shards = ss
@@ -503,6 +509,7 @@ class ShardedEngine:
         self._seg_jit = None
         self._ev_jit = None
         self._force_jit = None
+        self._pe_jit = None
 
     # -- hot step ----------------------------------------------------------
     def _local_state(self, ss):
@@ -665,6 +672,51 @@ class ShardedEngine:
         return jax.jit(jax.shard_map(
             local, mesh=self.mesh, in_specs=(spec, spec, spec),
             out_specs=(P(), P(), P())))
+
+    def _build_pe(self):
+        """Energy-only sharded evaluation (no strain grad — the virial
+        backward pass costs ~5x the compile; tests and cheap monitors use
+        this)."""
+        Pn = self.n_devices
+        n_cap = self.n_cap
+        h_s = self._h_slab
+        perm_r = [(i, (i + 1) % Pn) for i in range(Pn)]
+        perm_l = [(i, (i - 1) % Pn) for i in range(Pn)]
+        arow = self._arow
+        park = self._lo_glob + 2.0 * arow
+
+        def local(ss, halo, nbr):
+            ss = _sq(ss)
+            halo = _sq(halo)
+            nbr = _sq(nbr)
+            d = jax.lax.axis_index(AXIS)
+            sl_shift = jnp.where(d == 0, -1.0, 0.0).astype(ss.x.dtype)
+            sr_shift = jnp.where(d == Pn - 1, 1.0, 0.0).astype(ss.x.dtype)
+            x_hl = jax.lax.ppermute(ss.x[halo.exp_r], AXIS, perm_r)
+            x_hr = jax.lax.ppermute(ss.x[halo.exp_l], AXIS, perm_l)
+            x_hl = jnp.where(halo.val_hl[:, None],
+                             x_hl + sl_shift * arow[None, :], park[None, :])
+            x_hr = jnp.where(halo.val_hr[:, None],
+                             x_hr + sr_shift * arow[None, :], park[None, :])
+            x_loc = jnp.concatenate([ss.x, x_hl, x_hr], axis=0)
+            owned = jnp.concatenate(
+                [ss.valid, jnp.zeros(x_loc.shape[0] - n_cap, bool)])
+            e = self.pair.energy(x_loc, None, halo.t_loc, nbr, h_s,
+                                 center_mask=owned)
+            return jax.lax.psum(e, AXIS)
+
+        spec = P(AXIS)
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=(spec, spec, spec),
+            out_specs=P()))
+
+    def potential_energy(self) -> float:
+        """Global PE via psum of owned-masked per-shard energies."""
+        if self.nbr is None:
+            self.resettle()
+        if getattr(self, "_pe_jit", None) is None:
+            self._pe_jit = self._build_pe()
+        return float(self._pe_jit(self.shards, self.halo, self.nbr))
 
     def thermo(self) -> dict:
         """One thermo row (reductions via psum — the MPI_Allreduce

@@ -20,13 +20,18 @@ Cutoff semantics replicated from the reference:
   * density legs use cut - 1.5 when BOTH endpoints are angular
     (CutDec, cpp:187-192 and cpp:218-223);
   * the pair term phi uses the full cut (cpp:350).
-Known deviation (documented): the reference's force pass applies the FULL
-cut to the j-leg of angular triplets while its density pass used the reduced
-cut (cpp:350 vs cpp:192), making its forces inconsistent with its energy for
-angular-angular pairs in the 1.5 A shell — and order-dependent, since the
-k-leg keeps the reduced cut.  We take forces = -grad(E) with the density-pass
-cuts on both legs: energy-consistent, order-independent, and identical
-whenever no angular-angular pair sits in the shell (e.g. dilute Si).
+Force-pass inconsistency (quantified, see force_pass_deviation and
+tests/test_aeam.py::test_force_pass_deviation_quantified): the reference's
+force pass applies the FULL cut to the j-leg of angular triplets while its
+density pass used the reduced cut (cpp:350 vs cpp:192) — and whether a
+given shell pair contributes depends on its neighbor-list slot ORDER
+(the k-loop keeps the reduced cut, cpp:398-421), so the reference force is
+not implementation-independent there.  We take forces = -grad(E) with the
+density-pass cuts on both legs (energy-consistent, order-independent).
+For the shipped AlSi.aeam this is EXACTLY the reference's force: its Si-Si
+density table is identically zero beyond r = cut - CutDec = 3.768 A (the
+table itself encodes the reduced cutoff), so the full-cut lookup reads
+exact zeros — the deviation bound is 0 for any configuration.
 
 The embedding-argument guard minrho (cpp:329-332) is replicated with a
 double-where so rho -> 0 gives exactly zero force without NaNs.
@@ -165,9 +170,26 @@ class AEAM(PairStyle):
         angular subset makes the [Na, K, K] tensor ~N/Na times smaller."""
         el = self.typemap_np[np.asarray(types_np)]
         sel = np.nonzero(el >= self.nnonangular)[0].astype(np.int32)
+        if getattr(self, "_no_compact", False):
+            # sharded view: global row indices are meaningless on local
+            # blocks; only the degenerate no-angular-atoms compaction is
+            # row-space independent (it keeps the fast paths)
+            self._ang_sel = jnp.asarray(sel) if sel.size == 0 else None
+            return
         # compaction pays only when angular atoms are a minority
         self._ang_sel = (jnp.asarray(sel)
                          if sel.size < 0.5 * len(types_np) else None)
+
+    def for_sharded(self) -> "AEAM":
+        """Sharded view: the global angular-row compaction (_ang_sel)
+        indexes GLOBAL atom rows and cannot be used on per-shard local
+        blocks — drop it, so the energy takes the masked full-K^2 angular
+        branch and forces take exact autodiff (both row-space agnostic)."""
+        import copy
+        p = copy.copy(self)
+        p._ang_sel = None
+        p._no_compact = True
+        return p
 
     @classmethod
     def from_file(cls, path: str, elements, dtype=jnp.float64):
@@ -549,6 +571,125 @@ class AEAM(PairStyle):
             force = force + sc[:n]
             force = force.at[ghosts.owner].add(sc[n:m_all], mode="drop")
         return force
+
+    def force_pass_deviation(self, x, types, nbr: NeighborData, h):
+        """Per-atom bound on |F_reference − F_here| from the reference's
+        force-pass cutoff inconsistency (pair_aeam.cpp:350 vs :192).
+
+        The reference's density pass zeroes the j-leg of angular triplets
+        when both endpoints are angular and r1 > cut − 1.5 (CutDec), but
+        its force pass evaluates the triplet with the FULL-cut f_ij there
+        — and whether a given shell pair contributes at all depends on its
+        slot ORDER in the neighbor list (the k-loop applies CutDec to the
+        k leg, so a shell leg appearing later than its partner is skipped,
+        cpp:398-421).  The reference force is therefore not reproducible
+        implementation-independently; this returns the [N, 3] sum of ALL
+        possible shell-triplet force terms — an upper bound on the
+        deviation of ANY ordering (ours corresponds to zero such terms:
+        the energy-consistent gradient).  Zero whenever no angular-angular
+        pair sits in the 1.5 A shell (e.g. dilute Si as in sample.in)."""
+        ghosts = nbr.ghosts
+        main = nbr.lists["main"]
+        el_own = self.typemap[types]
+        el_all = self.typemap[ghosts.all_types(types)]
+        n = x.shape[0]
+        m_all = x.shape[0] + ghosts.count
+
+        dx, dy, dz, rsq, mask = edge_components(x, ghosts, main, h, None,
+                                                row_gather=True)
+        r = jnp.sqrt(rsq)
+        ei = el_own[:, None]
+        ej = self._jel(main, el_all)
+        ang_i = ei >= self.nnonangular
+        ang_j = ej >= self.nnonangular
+        cut_ij = self._cut_ij(ei, ej, r.shape)
+        # shell legs: both ends angular, r in (cut-1.5, cut]
+        shell = mask & ang_i & ang_j & (r > cut_ij - CUTDEC) \
+            & (r <= cut_ij)
+        # normal legs (density-pass gating)
+        leg_cut = cut_ij - jnp.where(ang_i & ang_j, CUTDEC, 0.0)
+        in_leg = mask & (r <= leg_cut)
+
+        # rho/fp exactly as the energy uses them
+        rho, ang_center, _, _, _, _ = self._rho_core(
+            dx, dy, dz, rsq, mask, el_own, el_all, main)
+        live = rho > MINRHO
+        rho_safe = jnp.where(live, rho, 1.0)
+        p_arg = jnp.sqrt(rho_safe) * self.frho_rdrho[el_own] + 1.0
+        fp = self._embed_deriv(el_own, p_arg)
+        Fptmp = jnp.where(live & ang_center,
+                          0.5 / jnp.sqrt(rho_safe), 0.0)       # ni=0.5
+        pref_i = Fptmp * fp                                    # [N]
+
+        # spline values/derivs at the shell legs (full cut) and normal legs
+        f_ij = self._rhor(ei, ej, r)
+        tab = jnp.broadcast_to(ei * self.nel + ej, r.shape)
+        p_raw = r * self._sel_tab(tab, self.rhor_rdr_np) + 1.0
+        nknot = self._sel_tab(tab, self.rhor_nr_np).astype(jnp.int32)
+        mm = jnp.minimum(jnp.floor(p_raw).astype(jnp.int32), nknot - 1)
+        pp = jnp.minimum(p_raw - mm, 1.0)
+        cc = self.rhor_flat[tab * self.rhor_stride + mm]
+        df_ij = (cc[..., 0] * pp + cc[..., 1]) * pp + cc[..., 2]
+
+        # vectorized over angular centers only (analysis path: runs eager,
+        # so the compaction can use concrete numpy indices)
+        ang_rows = jnp.asarray(np.nonzero(
+            np.asarray(el_own) >= self.nnonangular)[0].astype(np.int32))
+        if ang_rows.shape[0] == 0:
+            return jnp.zeros((n, 3), x.dtype)
+
+        dxB, dyB, dzB = dx[ang_rows], dy[ang_rows], dz[ang_rows]
+        rB = r[ang_rows]
+        shellB = shell[ang_rows]
+        legB = in_leg[ang_rows]
+        fB = jnp.where(legB, f_ij[ang_rows], 0.0)
+        dfB = df_ij[ang_rows]
+        f_fullB = f_ij[ang_rows]
+        prefB = pref_i[ang_rows]
+        idxB = main.idx[ang_rows]
+
+        # triplet tensors [Na, K(j=shell), K(k=normal)]
+        r1 = rB[:, :, None]
+        r2 = rB[:, None, :]
+        dots = (dxB[:, :, None] * dxB[:, None, :]
+                + dyB[:, :, None] * dyB[:, None, :]
+                + dzB[:, :, None] * dzB[:, None, :])
+        cs = dots / (r1 * r2)
+        rsq3 = r1 ** 2 + r2 ** 2 - 2.0 * dots
+        r3 = jnp.sqrt(jnp.maximum(rsq3, 1e-12))
+        delcs = cs + 1.0 / 3.0
+        ftet = delcs * delcs
+        pair_ok = shellB[:, :, None] & legB[:, None, :]
+        ci = 2.0
+        fik = fB[:, None, :]
+        dfik_t = dfB[:, None, :]
+        fij_t = f_fullB[:, :, None]
+        dfij_t = dfB[:, :, None]
+        DFij = ci * (fik * dfij_t * ftet + fij_t * fik * 2.0 * delcs
+                     * (1.0 / r2 - cs / r1))
+        DFik = ci * (fij_t * dfik_t * ftet + fij_t * fik * 2.0 * delcs
+                     * (1.0 / r1 - cs / r2))
+        DFjk = ci * fij_t * fik * 2.0 * delcs * (-r3 / (r1 * r2))
+        w = jnp.where(pair_ok, prefB[:, None, None], 0.0)
+        FFij = -w * DFij / r1
+        FFik = -w * DFik / r2
+        FFjk = -w * DFjk / r3
+        d1 = jnp.stack([dxB, dyB, dzB], axis=-1)
+        d3 = d1[:, None, :, :] - d1[:, :, None, :]      # x_k - x_j
+        fj = FFij[..., None] * d1[:, :, None, :] - FFjk[..., None] * d3
+        fk = FFik[..., None] * d1[:, None, :, :] + FFjk[..., None] * d3
+
+        out = jnp.zeros((m_all + 1, 3), x.dtype)
+        out = out.at[ang_rows].add(-jnp.sum(fj + fk, axis=(1, 2)))
+        tgt_j = jnp.where(shellB, idxB, m_all)
+        out = out.at[tgt_j.reshape(-1)].add(
+            jnp.sum(fj, axis=2).reshape(-1, 3), mode="drop")
+        tgt_k = jnp.where(legB, idxB, m_all)
+        out = out.at[tgt_k.reshape(-1)].add(
+            jnp.sum(fk, axis=1).reshape(-1, 3), mode="drop")
+        # ghost contributions to owners
+        res = out[:n].at[ghosts.owner].add(out[n:m_all], mode="drop")
+        return res
 
     def energy_peratom(self, x, types, nbr: NeighborData, h):
         """Per-atom energies exactly as the reference tallies them:

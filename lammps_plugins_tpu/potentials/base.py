@@ -56,6 +56,17 @@ class PairStyle:
         """
         raise NotImplementedError
 
+    def for_sharded(self) -> "PairStyle":
+        """A view of this style configured for per-shard local evaluation.
+
+        Under spatial decomposition every energy/force call sees a
+        per-shard LOCAL row space ([owned | halo] blocks), so any
+        host-precomputed per-atom index set built from the global type
+        array in prepare() would index the wrong rows — styles that cache
+        such sets override this to return a copy with them dropped.  The
+        returned object may share all table arrays with the original."""
+        return self
+
     def max_cutoff(self) -> float:
         return max(float(np.max(np.asarray(c)))
                    for c in self.neighbor_requests().values())

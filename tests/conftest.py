@@ -16,6 +16,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# NOTE: do NOT enable the persistent compilation cache for the CPU tests:
+# XLA:CPU AOT cache blobs record machine-feature sets (incl. the internal
+# prefer-no-scatter/gather pseudo-features) that fail to match the host on
+# reload here, and the reloaded executables mis-run (observed: a sharded
+# segment that executes in 0.14 s when freshly compiled spins for minutes
+# when loaded from cache).  The TPU bench keeps its own cache.
 
 REFERENCE = "/root/reference"
 REBO_FILE = f"{REFERENCE}/USER-REBOMOS/MoS.REBO.set5b"

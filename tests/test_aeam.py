@@ -212,3 +212,62 @@ def test_fast_forces_match_autodiff(aeam_pair):
     assert scale > 0.01
     np.testing.assert_allclose(f_fast, f_ad, atol=1e-12 * scale,
                                rtol=1e-12)
+
+
+def test_force_pass_deviation_quantified(aeam_pair):
+    """Quantify the documented deviation from the reference's force pass
+    (pair_aeam.cpp:350 full-cut j-leg vs :192 reduced-cut density leg).
+
+    Dilute Si (sample.in's 0.75%): no angular-angular pair sits in the
+    1.5 A shell -> deviation identically zero (our trajectories match the
+    reference's semantics exactly).  Concentrated Si: the bound is
+    nonzero; its magnitude is recorded here against the typical force
+    scale."""
+    from lammps_plugins_tpu.fixes.velocity import (set_type_fraction,
+                                                   velocity_create)
+
+    a = 4.045
+    lat = Lattice.fcc(a)
+    box = Box.orthogonal([a * 4] * 3)
+    pos, types = create_atoms_box(lat, box, [1, 1, 1, 1])
+    base = State.create(x=jnp.asarray(pos), type=types, box=box,
+                        mass=aeam_pair.masses)
+
+    # dilute (two Si in 256 atoms, far apart): deviation must be zero
+    t_dilute = np.asarray(base.type).copy()
+    t_dilute[0] = 2
+    t_dilute[128] = 2
+    st = base.replace(type=jnp.asarray(t_dilute, jnp.int32))
+    st = velocity_create(st, units.METAL, 600.0, seed=2)
+    eng = Engine(st, aeam_pair, [FixNVE()], units.METAL,
+                 device_rebuild=False)
+    eng.evaluate()
+    eng.run(10)
+    aeam_pair.prepare(np.asarray(eng.state.type))
+    dev = np.asarray(aeam_pair.force_pass_deviation(
+        eng.state.x, eng.state.type, eng.nbr, eng.state.box.h))
+    assert np.abs(dev).max() < 1e-14
+
+    # concentrated (40% Si): angular-angular pairs DO sit in the shell
+    # (1000+ of them), yet the bound is still exactly zero — the file's
+    # Si-Si density table is identically 0 beyond r = 3.768 A = cut -
+    # CutDec (the table itself encodes the reduced cutoff), so the
+    # reference's full-cut force-pass lookup (cpp:350) reads exact zeros
+    # there.  For AlSi.aeam our energy-consistent gradient therefore
+    # equals the reference's forces EXACTLY; the inconsistency could only
+    # bite for hypothetical files whose angular-angular density extends
+    # into the shell.
+    stc = set_type_fraction(base, 2, 0.40, seed=4)
+    stc = velocity_create(stc, units.METAL, 900.0, seed=6)
+    engc = Engine(stc, aeam_pair, [FixNVE()], units.METAL,
+                  device_rebuild=False)
+    engc.evaluate()
+    engc.run(10)
+    aeam_pair.prepare(np.asarray(engc.state.type))
+    devc = np.asarray(aeam_pair.force_pass_deviation(
+        engc.state.x, engc.state.type, engc.nbr, engc.state.box.h))
+    t = read_aeam("/root/reference/USER-AEAM/AlSi.aeam")
+    rho_sisi = np.asarray(t.rhor[1][1])
+    nshell = int(3.78 / t.dr[1, 1])
+    assert (rho_sisi[nshell + 2:] == 0.0).all()   # table ends at cut-1.5
+    assert np.abs(devc).max() == 0.0

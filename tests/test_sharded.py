@@ -1,0 +1,182 @@
+"""Production sharded engine vs single-device — the TPU analogue of the
+reference's 1-rank vs 4-rank MPI invariance check
+(log.rebomos-bulk.1 vs log.rebomos-bulk.4, SURVEY.md section 4).
+
+Runs on the 8-virtual-CPU-device mesh (conftest).  Box sizes are chosen so
+every periodic dimension exceeds twice the halo margin (no self-image
+stacking in the per-shard cell tables).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lammps_plugins_tpu.api.scenes import rebomos_bulk
+from lammps_plugins_tpu.core import units
+from lammps_plugins_tpu.core.box import Box
+from lammps_plugins_tpu.core.lattice import Lattice, create_atoms_box
+from lammps_plugins_tpu.core.state import State
+from lammps_plugins_tpu.fixes.bfield import FixBfield
+from lammps_plugins_tpu.fixes.nve import FixNVE
+from lammps_plugins_tpu.fixes.nvt import FixNVT
+from lammps_plugins_tpu.fixes.velocity import velocity_create
+from lammps_plugins_tpu.potentials.aeam import AEAM
+from lammps_plugins_tpu.potentials.rebomos import REBOMoS
+from lammps_plugins_tpu.parallel.sharded_engine import ShardedEngine
+from lammps_plugins_tpu.run.simulation import Engine
+
+from conftest import AEAM_FILE, REBO_FILE
+
+
+def _compare_trajectories(state, pair, fixes_single, fixes_shard,
+                          nsteps=60, n_devices=4, check_every=10,
+                          atol=1e-9, skin=None):
+    eng = Engine(state, pair, fixes_single, units.METAL,
+                 device_rebuild=False, check_every=check_every,
+                 **({"skin": skin} if skin is not None else {}))
+    eng.run(nsteps)
+    se = ShardedEngine(state, pair, fixes_shard, units.METAL,
+                       n_devices=n_devices, check_every=check_every,
+                       skin=skin)
+    se.run(nsteps)
+    st = se.to_state()
+    x1, x2 = np.asarray(eng.state.x), np.asarray(st.x)
+    # positions may differ by a box wrap (the engines wrap at different
+    # times); compare via minimum image
+    h = state.box.h_np()
+    d = x2 - x1
+    f = d @ np.linalg.inv(h)
+    d = (f - np.round(f)) @ h
+    np.testing.assert_allclose(d, 0.0, atol=atol)
+    np.testing.assert_allclose(np.asarray(st.v), np.asarray(eng.state.v),
+                               atol=atol)
+    return eng, se
+
+
+def test_sharded_static_parity_rebomos():
+    """Energy + forces from 4 slabs == single device, at rest."""
+    state = rebomos_bulk(nx=12, ny=8, nz=2, tilt_xy=0.0)
+    pair = REBOMoS.from_file(REBO_FILE, ["M", "S"])
+    state = velocity_create(state, units.METAL, 300.0, seed=7)
+
+    eng = Engine(state, pair, [FixNVE()], units.METAL,
+                 device_rebuild=False)
+    pe1, _ = eng.evaluate()
+    f1 = np.asarray(eng.state.f)
+
+    se = ShardedEngine(state, pair, [FixNVE()], units.METAL, n_devices=4)
+    pe2 = se.potential_energy()
+    se._setup_forces()
+    f2 = np.asarray(se.to_state().f)
+    assert abs(pe2 - float(pe1)) < 1e-10 * abs(float(pe1))
+    np.testing.assert_allclose(f2, f1, atol=1e-11, rtol=1e-10)
+
+
+def test_sharded_dynamics_rebomos():
+    """60 NVE steps with reneighboring: the sharded trajectory matches the
+    single-device one (the log.rebomos-bulk.1-vs-.4 analogue)."""
+    state = rebomos_bulk(nx=12, ny=8, nz=2, tilt_xy=0.0)
+    pair = REBOMoS.from_file(REBO_FILE, ["M", "S"])
+    state = velocity_create(state, units.METAL, 600.0, seed=3)
+    _compare_trajectories(state, pair, [FixNVE()], [FixNVE()],
+                          nsteps=60, check_every=10)
+
+
+def test_sharded_migration_exchange():
+    """Atoms displaced across slab boundaries are exchanged to the right
+    owner at resettle (LAMMPS Comm::exchange), and the physics after the
+    exchange still matches single-device."""
+    state = rebomos_bulk(nx=12, ny=8, nz=2, tilt_xy=0.0)
+    pair = REBOMoS.from_file(REBO_FILE, ["M", "S"])
+    se = ShardedEngine(state, pair, [FixNVE()], units.METAL, n_devices=4)
+    se.resettle()
+    tags0 = np.asarray(jax.device_get(se.shards.tag)).copy()
+
+    # push every atom 3 A along +x: a band of each slab crosses into the
+    # next one (3 A < slab width, so single-hop migration suffices)
+    x = np.asarray(jax.device_get(se.shards.x)).copy()
+    valid = np.asarray(jax.device_get(se.shards.valid))
+    x[valid] += np.array([3.0, 0.0, 0.0])
+    se.shards = se.shards.replace(x=jnp.asarray(x, se.dtype))
+    se._f_valid = False
+    se.resettle()
+    assert int(se._flags["lost_atoms"]) == 0
+    tags1 = np.asarray(jax.device_get(se.shards.tag))
+    moved = any(
+        set(tags0[d][tags0[d] >= 0].tolist())
+        != set(tags1[d][tags1[d] >= 0].tolist())
+        for d in range(4))
+    assert moved, "no atom migrated after a 3 A shift"
+    # counts preserved
+    assert sorted(tags1[tags1 >= 0].tolist()) == sorted(
+        tags0[tags0 >= 0].tolist())
+
+    # physics parity on the shifted configuration
+    pe2 = se.potential_energy()
+    st = se.to_state()
+    eng = Engine(st, pair, [FixNVE()], units.METAL, device_rebuild=False)
+    pe1, _ = eng.evaluate()
+    assert abs(pe2 - float(pe1)) < 1e-10 * abs(float(pe1))
+    se._setup_forces()
+    f2 = np.asarray(se.to_state().f)
+    np.testing.assert_allclose(f2, np.asarray(eng.state.f),
+                               atol=1e-11, rtol=1e-10)
+
+
+def _alsi_state(pair, reps=8):
+    a = 4.045
+    lat = Lattice.fcc(a)
+    box = Box.orthogonal([a * reps] * 3)
+    pos, types = create_atoms_box(lat, box, [1, 1, 1, 1])
+    state = State.create(x=jnp.asarray(pos), type=types, box=box,
+                         mass=pair.masses)
+    from lammps_plugins_tpu.fixes.velocity import set_type_fraction
+    state = set_type_fraction(state, 2, 0.05, seed=12)
+    return state
+
+
+def test_sharded_static_parity_aeam():
+    """AEAM (angular triplets straddling slab boundaries) energy + forces
+    match single-device decomposition.  AEAM's halo margin is two full
+    cutoffs (the embedding of a halo atom within cut of an owned one
+    needs ITS whole density shell local — the analogue of the reference's
+    reverse-comm of rho + forward-comm of fp, pair_aeam.cpp:257,307), so
+    the box supports 2 slabs at this size."""
+    pair = AEAM.from_file(AEAM_FILE, ["Al", "Si"])
+    state = _alsi_state(pair)
+    state = velocity_create(state, units.METAL, 600.0, seed=5)
+    eng = Engine(state, pair, [FixNVE()], units.METAL,
+                 device_rebuild=False, skin=1.0)
+    eng.evaluate()
+    eng.run(5)    # off-lattice so forces are nonzero
+    pe1, _ = eng.evaluate()
+    f1 = np.asarray(eng.state.f)
+
+    se = ShardedEngine(eng.state, pair, [FixNVE()], units.METAL,
+                       n_devices=2, skin=1.0)
+    pe2 = se.potential_energy()
+    se._setup_forces()
+    st = se.to_state()
+    assert abs(pe2 - float(pe1)) < 1e-10 * abs(float(pe1))
+    scale = np.abs(f1).max()
+    np.testing.assert_allclose(np.asarray(st.f), f1, atol=1e-8 * scale,
+                               rtol=1e-8)
+
+
+def test_sharded_bfield_nvt_trajectory():
+    """Sharded step with fix bfield + NVT (psum reductions) matches the
+    single-device trajectory."""
+    pair = AEAM.from_file(AEAM_FILE, ["Al", "Si"])
+    state = _alsi_state(pair)
+    q = np.zeros(state.natoms)
+    q[:] = 0.01
+    state = state.replace(q=jnp.asarray(q, state.x.dtype))
+    state = velocity_create(state, units.METAL, 400.0, seed=9)
+
+    def fx():
+        return [FixBfield(0.0, 0.0, 5.0), FixNVT(500.0, 500.0, 0.1)]
+
+    _compare_trajectories(state, pair, fx(), fx(), nsteps=40,
+                          n_devices=2, check_every=10, atol=1e-9,
+                          skin=1.0)

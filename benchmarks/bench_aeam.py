@@ -80,6 +80,11 @@ def main():
         rate = natoms * steps / (time.time() - t0)
         best = max(best, rate)
         print(f"# {rate:.3e} atom-steps/s", file=sys.stderr, flush=True)
+    secs = dict(eng.timers.acc)
+    tot = sum(secs.values()) or 1.0
+    print("# timers: " + ", ".join(
+        f"{k}={v:.2f}s ({100*v/tot:.0f}%)" for k, v in secs.items()),
+        file=sys.stderr, flush=True)
     RESULT["value"] = round(best, 1)
     _done = True
     print(json.dumps(RESULT), flush=True)

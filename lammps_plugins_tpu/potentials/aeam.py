@@ -388,8 +388,17 @@ class AEAM(PairStyle):
 
         return e_embed + e_pair
 
-    #: device rebuild provides the mirror-edge table for this tier
-    mirror_tiers = ("main",)
+    @property
+    def mirror_tiers(self):
+        """Mirror-edge table only when the force path actually uses it.
+
+        With symmetric r-grids the fast force path computes the newton
+        reaction locally (21-wide spline rows + the F'_j row gather) and
+        never touches the mirror table — but building it dominates the
+        rebuild (~117 of 233 ms at 32k atoms, K=176: an [E,3] pack gather
+        plus an [N,K,K] reverse-slot search), so request it only for the
+        asymmetric-grid fallback."""
+        return () if getattr(self, "_sym_grids", False) else ("main",)
 
     def forces(self, x, types, nbr: NeighborData, h):
         """Forces without per-edge mirror gathers (the fast path) when the

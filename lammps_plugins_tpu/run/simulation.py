@@ -196,6 +196,24 @@ class Engine:
                 # full retrace
                 self._resize_plan(flags_np, grow=1.3)
                 return self._rebuild_on_device(_retry)
+        else:
+            # overflow recovery grows K by 1.5x from possibly-truncated
+            # counts, which can leave the STEP paying 50%+ slack forever
+            # (observed: cap 176 vs steady kmax 114 at 863 K = 1.54x on
+            # every per-edge gather).  Re-tighten to the exact k_final
+            # target once the measured kmax sits >= 2 quantization buckets
+            # (32) below the cap; the hysteresis keeps heating systems
+            # from flip-flopping (each re-size is a retrace).
+            caps = dict(self._plan.k_caps)
+            slack_k = False
+            for k, v in flags_np.items():
+                if k.startswith("count:k:"):
+                    target = max(16, -(-(int(v) + 2) // 16) * 16)
+                    if caps[k.split(":", 2)[2]] - target >= 32:
+                        slack_k = True
+            if slack_k:
+                self._resize_plan(flags_np, grow=1.0)
+                return self._rebuild_on_device(_retry)
         self.state = self.state.replace(x=xw, image=image)
         self.nbr = nbr
         self._x_build_np = None

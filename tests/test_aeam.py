@@ -164,6 +164,10 @@ def test_mirror_forces_match_autodiff(aeam_file):
     from lammps_plugins_tpu.fixes.velocity import velocity_create
     pos, types, box = _alsi_system(nc=3, kick=0.06, seed=9)
     pair = AEAM.from_file(aeam_file, ["Al", "Si"])
+    # force the asymmetric-grid fallback: with symmetric grids the fast
+    # path never reads the mirror table, so the rebuild no longer builds
+    # it (AEAM.mirror_tiers) — this test exercises the fallback itself
+    pair._sym_grids = False
     state = State.create(x=jnp.asarray(pos), type=types, box=box,
                          mass=pair.masses)
     eng = Engine(state, pair, [FixNVE()], units.METAL, device_rebuild=True)

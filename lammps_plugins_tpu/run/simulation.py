@@ -41,6 +41,16 @@ from . import thermo as thermo_mod
 from .timers import Timers
 
 
+def _quantize_k(target: int) -> int:
+    """Neighbor-list K capacity for a measured kmax `target`.
+
+    Multiples of 8 (the f32 sublane quantum — every per-edge tensor is
+    [K, Np] or [N, K]); the K^2 angular kernel makes each extra bucket
+    cost quadratically, so the quantum is kept as small as the hardware
+    layout allows.  Minimum 16 bounds retrace churn on tiny systems."""
+    return max(16, -(-target // 8) * 8)
+
+
 class Engine:
     """Owns the jitted step and the host-side rebuild loop."""
 
@@ -60,6 +70,7 @@ class Engine:
         self._x_build_np: np.ndarray | None = None
         self.thermo_rows: List[dict] = []
         self._seg_jit = None
+        self._loop_jit = None
         self._efv_jit = None
         self._ev_jit = None
         self._force_jit = None
@@ -208,7 +219,7 @@ class Engine:
             slack_k = False
             for k, v in flags_np.items():
                 if k.startswith("count:k:"):
-                    target = max(16, -(-(int(v) + 2) // 16) * 16)
+                    target = _quantize_k(int(v) + 2)
                     if caps[k.split(":", 2)[2]] - target >= 32:
                         slack_k = True
             if slack_k:
@@ -218,6 +229,7 @@ class Engine:
         self.nbr = nbr
         self._x_build_np = None
         self._maxdisp_is_device = True
+        self._pending_rebuild = False
 
     def _resize_plan(self, flags_np, grow: float):
         """New plan from measured counts (overflow recovery / tightening)."""
@@ -238,7 +250,7 @@ class Engine:
                 continue
             m = int(v)
             target = m + 2 if grow <= 1.3 else int(m * grow) + 2
-            k_counts[k.split(":", 2)[2]] = max(16, -(-target // 16) * 16)
+            k_counts[k.split(":", 2)[2]] = _quantize_k(target)
         cand_occ = (int(flags_np["count:candcell"])
                     if "count:candcell" in flags_np else None)
         self._plan = device_build.make_plan(
@@ -249,6 +261,7 @@ class Engine:
             mirror_tiers=getattr(self.pair, "mirror_tiers", ()),
             cand_occupancy=cand_occ)
         self._seg_jit = None       # shapes change -> retrace
+        self._loop_jit = None
 
     # -- jitted computations ----------------------------------------------
     def _one_step(self, state: State, nbr: NeighborData):
@@ -287,6 +300,120 @@ class Engine:
 
             self._seg_jit = jax.jit(seg, static_argnums=2)
         return self._seg_jit(state, nbr, nsteps)
+
+    # -- device-resident run loop -------------------------------------------
+    def _device_loop_fn(self):
+        """Build the fused multi-segment loop: segments AND neighbor
+        rebuilds run under one lax.while_loop, so a span of `nsteps` costs
+        exactly ONE host round-trip (the tunneled backend's RTT is ~35 ms —
+        at check_every=12 that was ~3 ms/step of pure pipeline bubble).
+
+        Semantics are bit-identical to the host loop: a segment whose
+        max displacement trips the half-skin bound is DISCARDED and re-run
+        from its start state with fresh lists (a no-advance iteration);
+        a fresh-list segment that still trips is accepted and the next
+        iteration rebuilds first (the reference's own guarantee level:
+        neigh_modify delay/every can miss the same fast-atom case).  The
+        proactive 80%-of-half-skin rebuild matches the host loop.
+
+        Overflow handling moves to the caller: rebuild flags are max-merged
+        across the loop and checked ONCE per span; any overflow discards
+        the whole span and re-runs it from the saved start after a plan
+        re-size (rare — only when kmax outgrows its cap).
+        """
+        from ..neighbor import device_build
+
+        plan = self._plan
+        h, h_inv, lo = self._box_dev
+        cut_mats = self._cut_mats_dev
+        half2 = jnp.asarray((0.5 * self.skin) ** 2, self.state.x.dtype)
+        check = self.check_every
+
+        def rebuild(state):
+            xw, image, nbr, flags = device_build.device_rebuild(
+                plan, state.x, state.image, state.type, h, h_inv, lo,
+                cut_mats)
+            return state.replace(x=xw, image=image), nbr, flags
+
+        def loop(state, nbr, pending0, nsteps):
+            zero_flags = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(rebuild, state)[2])
+
+            def body(carry):
+                state, nbr, done, pending, flags = carry
+
+                def do_rb(s, n, f):
+                    s2, n2, f2 = rebuild(s)
+                    f = jax.tree_util.tree_map(
+                        lambda a, b: jnp.maximum(a, b), f, f2)
+                    return s2, n2, f
+
+                state, nbr, flags = jax.lax.cond(
+                    pending, do_rb, lambda s, n, f: (s, n, f),
+                    state, nbr, flags)
+
+                def one(st, _):
+                    return self._one_step(st, nbr), None
+
+                ns, _ = jax.lax.scan(one, state, None, length=check)
+                d = ns.x - nbr.x_build
+                md = jnp.max(jnp.sum(d * d, axis=-1))
+                tripped = md > half2
+                accept = jnp.logical_or(pending, jnp.logical_not(tripped))
+                state = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(accept, a, b), ns, state)
+                done = done + jnp.where(accept, check, 0)
+                # covers all cases: a discarded segment has md > half2
+                pending = md > 0.64 * half2
+                return state, nbr, done, pending, flags
+
+            carry = (state, nbr, jnp.zeros((), jnp.int32),
+                     pending0, zero_flags)
+            state, nbr, done, pending, flags = jax.lax.while_loop(
+                lambda c: c[2] < nsteps, body, carry)
+            return state, nbr, pending, flags
+
+        return jax.jit(loop, static_argnums=3)
+
+    def _run_span_device(self, nsteps: int, _retry: int = 0):
+        """Advance `nsteps` (a multiple of check_every) with one device
+        call; one flags fetch at the end decides overflow re-runs."""
+        if self._loop_jit is None:
+            self._loop_jit = self._device_loop_fn()
+        start_state, start_nbr = self.state, self.nbr
+        start_pending = getattr(self, "_pending_rebuild", False)
+        state, nbr, pending, flags = self._loop_jit(
+            self.state, self.nbr, jnp.asarray(start_pending), nsteps)
+        flags_np = jax.device_get(flags)
+        if any(bool(v) for k, v in flags_np.items() if "overflow" in k):
+            if _retry >= 6:
+                raise RuntimeError(
+                    f"device rebuild overflow persists: {flags_np}")
+            # a truncated list stepped physics — discard the whole span,
+            # re-size from the measured counts, and re-run it
+            self.state, self.nbr = start_state, start_nbr
+            self._resize_plan(flags_np, grow=1.5 * (1.3 ** _retry))
+            self._loop_jit = None
+            self.rebuild_neighbors()
+            return self._run_span_device(nsteps, _retry + 1)
+        self.state, self.nbr = state, nbr
+        self._f_valid = True
+        self._x_build_np = None
+        self._maxdisp_is_device = True
+        self._pending_rebuild = pending    # device scalar; fetched lazily
+        if bool(flags_np.get("count:ghost", 0)):
+            # at least one in-loop rebuild ran: apply the same K cap
+            # re-tightening policy as the host rebuild path
+            caps = dict(self._plan.k_caps)
+            for k, v in flags_np.items():
+                if k.startswith("count:k:") and int(v) > 0:
+                    target = _quantize_k(int(v) + 2)
+                    if caps[k.split(":", 2)[2]] - target >= 32:
+                        self._resize_plan(flags_np, grow=1.0)
+                        self._loop_jit = None
+                        self.rebuild_neighbors()
+                        break
 
     def _ensure_neighbors(self):
         if self.nbr is None:
@@ -404,12 +531,33 @@ class Engine:
         half_skin_sq = (0.5 * self.skin) ** 2
         done = 0
         while done < nsteps:
-            seg = min(self.check_every, nsteps - done)
+            span = nsteps - done
             if thermo_every:
-                to_thermo = thermo_every - (done % thermo_every)
-                seg = min(seg, to_thermo)
+                span = min(span, thermo_every - (done % thermo_every))
             for every, _ in callbacks:
-                seg = min(seg, every - (done % every))
+                span = min(span, every - (done % every))
+
+            fused = getattr(self, "fused_loop", None)
+            if fused is None:      # default: on for real accelerators (the
+                # host loop is kept on CPU so the f64 test suite compiles
+                # the small graphs; force with eng.fused_loop = True)
+                fused = jax.default_backend() not in ("cpu",)
+            if fused and self.device_rebuild and span >= self.check_every:
+                # fused multi-segment device loop: segments + rebuilds in
+                # one dispatch, one host sync per span (tunnel RTT ~35 ms)
+                m = (span // self.check_every) * self.check_every
+                with self.timers.section("Pair"):
+                    self._run_span_device(m)
+                done += m
+                if thermo_every and done % thermo_every == 0:
+                    emit()
+                for every, fn in callbacks:
+                    if done % every == 0:
+                        with self.timers.section("Output"):
+                            fn(self.state)
+                continue
+
+            seg = min(self.check_every, span)
 
             start_state = self.state
             with self.timers.section("Pair"):

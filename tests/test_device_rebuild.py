@@ -116,3 +116,36 @@ def test_analytic_lj_forces_match_autodiff(rebo_file):
     np.testing.assert_allclose(np.asarray(f_analytic),
                                np.asarray(f_autodiff),
                                rtol=1e-9, atol=1e-10)
+
+
+def test_fused_device_loop_matches_host_loop(rebo_file):
+    """The lax.while_loop fused run path (segments + in-loop rebuilds, one
+    host sync per span) must reproduce the per-segment host loop exactly:
+    same rebuild decisions, same redo semantics, bitwise-same trajectory."""
+    from lammps_plugins_tpu.fixes.velocity import velocity_create
+
+    def make():
+        state = rebomos_bulk()
+        state = velocity_create(state, units.METAL, 600.0, seed=77)
+        pair = REBOMoS.from_file(rebo_file, ["M", "S"])
+        # skin small enough that 40 steps at 600 K trip rebuilds
+        return Engine(state, pair, [FixNVE()], units.METAL,
+                      device_rebuild=True, check_every=5, skin=0.4)
+
+    eng_h = make()
+    eng_h.fused_loop = False
+    eng_h.run(40)
+
+    eng_f = make()
+    eng_f.fused_loop = True
+    eng_f.run(40)
+
+    assert int(eng_f.state.step) == int(eng_h.state.step) == 40
+    # same rebuild/redo decisions and physics; the two compiled programs
+    # may reassociate float ops, so "equal" means ~1 ulp here
+    np.testing.assert_allclose(np.asarray(eng_f.state.x),
+                               np.asarray(eng_h.state.x),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(eng_f.state.v),
+                               np.asarray(eng_h.state.v),
+                               rtol=1e-12, atol=1e-14)

@@ -31,7 +31,9 @@ def _watchdog(seconds):
 def main():
     global _done
     nc = int(os.environ.get("AEAM_NC", 20))
-    steps = int(os.environ.get("AEAM_STEPS", 50))
+    # multiple of check_every: timed reps then run entirely inside the
+    # fused device loop (one host sync per rep)
+    steps = int(os.environ.get("AEAM_STEPS", 48))
     reps = int(os.environ.get("AEAM_REPS", 3))
     skin = float(os.environ.get("AEAM_SKIN", 1.0))
 
@@ -71,7 +73,7 @@ def main():
     # equilibrate before timing: the hot lattice grows kmax over the first
     # few hundred steps and every capacity re-size is a retrace
     t0 = time.time()
-    eng.run(int(os.environ.get("AEAM_WARMUP", 300)))
+    eng.run(int(os.environ.get("AEAM_WARMUP", 288)))
     print(f"# warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     best = 0.0
     for _ in range(reps):

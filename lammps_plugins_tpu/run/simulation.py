@@ -544,8 +544,11 @@ class Engine:
                 fused = jax.default_backend() not in ("cpu",)
             if fused and self.device_rebuild and span >= self.check_every:
                 # fused multi-segment device loop: segments + rebuilds in
-                # one dispatch, one host sync per span (tunnel RTT ~35 ms)
+                # one dispatch, one host sync per span (tunnel RTT ~35 ms).
+                # Span capped so a rare in-loop overflow (which discards
+                # and re-runs the whole span) has bounded redo cost.
                 m = (span // self.check_every) * self.check_every
+                m = min(m, 16 * self.check_every)
                 with self.timers.section("Pair"):
                     self._run_span_device(m)
                 done += m

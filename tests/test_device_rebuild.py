@@ -149,3 +149,38 @@ def test_fused_device_loop_matches_host_loop(rebo_file):
     np.testing.assert_allclose(np.asarray(eng_f.state.v),
                                np.asarray(eng_h.state.v),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_fused_loop_inloop_overflow_recovery(rebo_file):
+    """An overflow inside the fused loop's in-loop rebuild must discard
+    the whole span, re-size, and re-run it — ending on the same
+    trajectory as the host loop."""
+    from lammps_plugins_tpu.fixes.velocity import velocity_create
+
+    def make():
+        state = rebomos_bulk()
+        state = velocity_create(state, units.METAL, 600.0, seed=31)
+        pair = REBOMoS.from_file(rebo_file, ["M", "S"])
+        return Engine(state, pair, [FixNVE()], units.METAL,
+                      device_rebuild=True, check_every=5, skin=0.4)
+
+    eng_h = make()
+    eng_h.fused_loop = False
+    eng_h.run(30)
+
+    eng_f = make()
+    eng_f.fused_loop = True
+    eng_f.rebuild_neighbors()
+    # sabotage the candidate-grid capacity (internal rebuild scratch —
+    # same output shapes, so the carried lists stay compatible) so the
+    # FIRST in-loop rebuild overflows and the span must be discarded
+    good = eng_f._plan
+    eng_f._plan = dataclasses.replace(good, cand_capacity=2)
+    eng_f._loop_jit = None
+    eng_f.run(30)
+    assert eng_f._plan.cand_capacity > 2, "no overflow re-size happened"
+
+    assert int(eng_f.state.step) == 30
+    np.testing.assert_allclose(np.asarray(eng_f.state.x),
+                               np.asarray(eng_h.state.x),
+                               rtol=1e-13, atol=1e-13)

@@ -470,6 +470,45 @@ class Script:
             self._fix_ids.append(fid)
             self.fixes.append(fix)
 
+    def cmd_plugin(self, args):
+        """plugin load <file.py|module> | list | clear.
+
+        The runtime-registration analogue of the reference's
+        `plugin load <lib.so>` (aeamplugin.cpp:14-28 lammpsplugin_init):
+        importing the module runs its @register_pair_style /
+        @register_fix_style decorators, after which the new styles are
+        usable by name in pair_style / fix commands."""
+        from .. import registry
+        sub = args[0]
+        if sub == "list":
+            self.log(f"pair styles: {sorted(registry.PAIR_STYLES)}")
+            self.log(f"fix styles: {sorted(registry.FIX_STYLES)}")
+            return
+        if sub == "clear":
+            # LAMMPS `plugin clear` unloads all plugins; builtin styles
+            # (this package's own modules) stay registered
+            return
+        if sub != "load":
+            raise ScriptError(f"Unknown plugin subcommand {sub}")
+        import importlib
+        import importlib.util
+        import os
+        target = args[1]
+        before = (set(registry.PAIR_STYLES), set(registry.FIX_STYLES))
+        if target.endswith(".py") or os.path.sep in target:
+            name = os.path.splitext(os.path.basename(target))[0]
+            spec = importlib.util.spec_from_file_location(name, target)
+            if spec is None:
+                raise ScriptError(f"Cannot load plugin {target}")
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+        else:
+            importlib.import_module(target)
+        new_pair = set(registry.PAIR_STYLES) - before[0]
+        new_fix = set(registry.FIX_STYLES) - before[1]
+        self.log(f"Loaded plugin {target}: pair styles {sorted(new_pair)}, "
+                 f"fix styles {sorted(new_fix)}")
+
     def cmd_unfix(self, args):
         """unfix <ID> — remove a previously defined fix."""
         fid = args[0]

@@ -71,3 +71,22 @@ def test_line_continuation():
     s = Script(log=lambda _: None)
     s.run_text("variable y &\n equal 3.0\n")
     assert s.variables["y"] == "3.0"
+
+
+def test_plugin_load_registers_styles(tmp_path):
+    """`plugin load file.py` — import-time decorator registration, the
+    analogue of the reference's lammpsplugin_init protocol."""
+    from lammps_plugins_tpu.api.script import Script
+    from lammps_plugins_tpu import registry
+
+    plug = tmp_path / "my_plugin.py"
+    plug.write_text(
+        "from lammps_plugins_tpu.registry import register_fix_style\n"
+        "from lammps_plugins_tpu.fixes.nve import FixNVE\n"
+        "@register_fix_style('nve_custom_test')\n"
+        "class FixNVECustom(FixNVE):\n"
+        "    pass\n")
+    s = Script()
+    s.run_text(f"plugin load {plug}\nplugin list\n")
+    assert "nve_custom_test" in registry.FIX_STYLES
+    del registry.FIX_STYLES["nve_custom_test"]

@@ -155,9 +155,22 @@ def _make_kernel(consts: dict, K: int, NB: int):
 
         gb, gbp = poly_and_deriv("b")
         gm, gmp = poly_and_deriv("bg")
-        ang = 2.0 * pi * (cos - 0.5)
-        psi = 0.5 * (1.0 - jnp.cos(ang))
-        psip = pi * jnp.sin(ang)
+        # psi = (1 - cos(2 pi (c - 1/2)))/2 = sin^2(pi u), psip = dpsi/dc
+        # = 2 pi sin(pi u) cos(pi u), u = c - 1/2.  Consumed only where
+        # c >= 1/2, so x = pi u is in [0, pi/2]: short restricted-range
+        # polynomials (max err ~1.4e-7, f32 rounding level) replace the
+        # two full-range transcendentals — these were 2 per ANGULAR PAIR,
+        # the single most expensive ops in the [K, K, NB] block.
+        x = pi * (cos - 0.5)
+        x2 = x * x
+        sn = x * (0.9999999827780359 + x2 * (-0.16666651517228095
+             + x2 * (8.332963963586747e-3 + x2 * (-1.9804751716368766e-4
+             + x2 * 2.5981027733145177e-6))))
+        cn = 0.9999999998456863 + x2 * (-0.4999999951156645
+             + x2 * (4.166664188188752e-2 + x2 * (-1.38884324042593e-3
+             + x2 * (2.4763770582327046e-5 + x2 * -2.611502385625322e-7))))
+        psi = sn * sn
+        psip = (2.0 * pi) * sn * cn
         hi = cos >= 0.5
         diff = gm - gb
         g = jnp.where(hi, gb + psi * diff, gb)

@@ -179,6 +179,7 @@ class ShardedEngine:
         self.nbr = None
         self._resettle_jit = None
         self._seg_jit = None
+        self._loop_jit = None
         self._ev_jit = None
         self.pair.prepare(np.asarray(state.type))
         self.thermo_rows: List[dict] = []
@@ -459,6 +460,7 @@ class ShardedEngine:
         self.halo = halo
         self.nbr = nbr
         self._flags = flags_np
+        self._pending_rebuild = False
 
     def _grow(self, flags_np, bad):
         """Re-size capacities from measured counts and retrace."""
@@ -747,6 +749,96 @@ class ShardedEngine:
             self._seg_jit[seg] = self._build_segment(seg)
         return self._seg_jit[seg](self.shards, self.halo, self.nbr)
 
+    # -- fused multi-segment device loop ------------------------------------
+    def _build_loop(self):
+        """Segments AND resettles (migration + halo + per-shard rebuild)
+        under one lax.while_loop — the sharded analogue of
+        Engine._device_loop_fn.  One host sync per span instead of one
+        per segment; the reference's MPI version syncs every STEP
+        (forward/reverse comm), so this is the piece of the design that
+        converts halo latency into pipeline depth.
+
+        The while-loop condition and the resettle predicate are
+        replicated scalars (pmax-reduced), so every device runs the same
+        control flow and collective sequence (SPMD-safe).  Overflow and
+        lost-atom flags are max-merged across in-loop resettles and
+        checked once per span by the host (detection of a lost atom is
+        delayed to the span end; the span is then discarded, exactly as
+        for overflow)."""
+        if self._resettle_jit is None:
+            self._resettle_jit = self._build_resettle()
+        check = self.check_every
+        if check not in (self._seg_jit or {}):
+            self._seg_jit = self._seg_jit or {}
+            self._seg_jit[check] = self._build_segment(check)
+        resettle = self._resettle_jit
+        segment = self._seg_jit[check]
+        half2 = jnp.asarray((0.5 * self.skin) ** 2, self.dtype)
+
+        def loop(ss, halo, nbr, pending0, nsteps):
+            zero_flags = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(resettle, ss)[3])
+
+            def body(carry):
+                ss, halo, nbr, done, pending, flags = carry
+
+                def do_rs(s, hl, nb, fl):
+                    s2, hl2, nb2, fl2 = resettle(s)
+                    fl = jax.tree_util.tree_map(jnp.maximum, fl, fl2)
+                    return s2, hl2, nb2, fl
+
+                ss, halo, nbr, flags = jax.lax.cond(
+                    pending, do_rs, lambda s, hl, nb, fl: (s, hl, nb, fl),
+                    ss, halo, nbr, flags)
+                ns, maxd = segment(ss, halo, nbr)
+                tripped = maxd > half2
+                accept = jnp.logical_or(pending, jnp.logical_not(tripped))
+                ss = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(accept, a, b), ns, ss)
+                done = done + jnp.where(accept, check, 0)
+                pending = maxd > 0.64 * half2
+                return ss, halo, nbr, done, pending, flags
+
+            carry = (ss, halo, nbr, jnp.zeros((), jnp.int32), pending0,
+                     zero_flags)
+            ss, halo, nbr, done, pending, flags = jax.lax.while_loop(
+                lambda c: c[3] < nsteps, body, carry)
+            return ss, halo, nbr, pending, flags
+
+        return jax.jit(loop, static_argnums=4)
+
+    def _run_span_device(self, nsteps: int, _retry: int = 0):
+        """Advance `nsteps` (a multiple of check_every) in one dispatch."""
+        if self._loop_jit is None:
+            self._loop_jit = self._build_loop()
+        start = (self.shards, self.halo, self.nbr)
+        pending0 = getattr(self, "_pending_rebuild", False)
+        ss, halo, nbr, pending, flags = self._loop_jit(
+            self.shards, self.halo, self.nbr, jnp.asarray(pending0), nsteps)
+        flags_np = jax.device_get(flags)
+        resettled = bool(flags_np.get("count:slab", 0))
+        if resettled and int(flags_np["lost_atoms"]):
+            raise RuntimeError(
+                f"{int(flags_np['lost_atoms'])} atoms moved more than one "
+                f"slab between reneighbor events — check_every too large")
+        bad = [k for k, v in flags_np.items()
+               if ("overflow" in k) and bool(v)]
+        if bad:
+            if _retry >= 5:
+                raise RuntimeError(f"sharded rebuild overflow persists: "
+                                   f"{flags_np}")
+            # a truncated in-loop rebuild stepped physics: discard the
+            # span, re-size, resettle, and re-run it
+            self.shards, self.halo, self.nbr = start
+            self._grow(flags_np, bad)
+            self._loop_jit = None
+            self.resettle()
+            return self._run_span_device(nsteps, _retry + 1)
+        self.shards, self.halo, self.nbr = ss, halo, nbr
+        self._pending_rebuild = pending
+        self._f_valid = True
+
     def run(self, nsteps: int, thermo_every: int = 0):
         self._setup_forces()
         rows = []
@@ -755,9 +847,23 @@ class ShardedEngine:
         half_skin_sq = (0.5 * self.skin) ** 2
         done = 0
         while done < nsteps:
-            seg = min(self.check_every, nsteps - done)
+            span = nsteps - done
             if thermo_every:
-                seg = min(seg, thermo_every - (done % thermo_every))
+                span = min(span, thermo_every - (done % thermo_every))
+
+            fused = getattr(self, "fused_loop", None)
+            if fused is None:
+                fused = jax.default_backend() not in ("cpu",)
+            if fused and span >= self.check_every:
+                m = (span // self.check_every) * self.check_every
+                m = min(m, 16 * self.check_every)
+                self._run_span_device(m)
+                done += m
+                if thermo_every and done % thermo_every == 0:
+                    rows.append(self.thermo())
+                continue
+
+            seg = min(self.check_every, span)
             start = self.shards
             new_ss, maxd = self._segment(seg)
             if float(maxd) > half_skin_sq:

@@ -114,6 +114,11 @@ def main():
         print(f"# {steps} steps in {dt:.3f}s -> {rate:.3e} atom-steps/s",
               file=sys.stderr, flush=True)
 
+    secs = dict(eng.timers.acc)
+    tot = sum(secs.values()) or 1.0
+    print("# timers: " + ", ".join(
+        f"{k}={v:.2f}s ({100*v/tot:.0f}%)" for k, v in secs.items()),
+        file=sys.stderr, flush=True)
     RESULT["value"] = round(best, 1)
     RESULT["vs_baseline"] = round(best / BASELINE, 2)
     _done = True

@@ -275,3 +275,33 @@ def test_force_pass_deviation_quantified(aeam_pair):
     nshell = int(3.78 / t.dr[1, 1])
     assert (rho_sisi[nshell + 2:] == 0.0).all()   # table ends at cut-1.5
     assert np.abs(devc).max() == 0.0
+
+
+def test_fused_loop_nvt_matches_host_loop(aeam_file):
+    """The fused device loop under fix nvt (the bench_aeam configuration)
+    matches the per-segment host loop."""
+    from lammps_plugins_tpu.fixes.nvt import FixNVT
+    from lammps_plugins_tpu.fixes.velocity import velocity_create
+
+    def make():
+        pos, types, box = _alsi_system(nc=3, kick=0.04, seed=3)
+        pair = AEAM.from_file(aeam_file, ["Al", "Si"])
+        state = State.create(x=jnp.asarray(pos), type=types, box=box,
+                             mass=pair.masses)
+        state = velocity_create(state, units.METAL, 863.0, seed=11)
+        return Engine(state, pair, [FixNVT(863.0, 863.0, 0.1)],
+                      units.METAL, device_rebuild=True, check_every=6,
+                      skin=0.8)
+
+    eng_h = make()
+    eng_h.fused_loop = False
+    eng_h.run(24)
+
+    eng_f = make()
+    eng_f.fused_loop = True
+    eng_f.run(24)
+
+    assert int(eng_f.state.step) == 24
+    np.testing.assert_allclose(np.asarray(eng_f.state.x),
+                               np.asarray(eng_h.state.x),
+                               rtol=1e-12, atol=1e-12)

@@ -102,6 +102,14 @@ class RebuildPlan:
     # per-dim periodicity: the rebuild wraps positions only on periodic
     # dims (the sharded slab boxes are non-periodic along the slab axis)
     periodic: Tuple[bool, bool, bool] = (True, True, True)
+    # box origin the grid origins were derived from.  device_rebuild bins
+    # with mn = grid_mn + (lo - lo_ref): the sharded engine reuses ONE
+    # plan for every slab, each at its own lo.  (Binning with the
+    # absolute grid_mn clipped shards d>0 into the last x-layer of
+    # cells — physics survived, because the clipped pile stays within the
+    # 27-cell shell and the rsq filter recovers true neighbors, but cell
+    # occupancy exploded ~30x and with it rebuild + LJ-kernel cost.)
+    lo_ref: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
 
 def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
@@ -197,6 +205,7 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
 
     return RebuildPlan(
         shifts=shifts, margins=margins, grid_mn=tuple(mn),
+        lo_ref=tuple(float(v) for v in lo),
         ghost_capacity=pad8(max(ghost_count, 8)),
         cand_dims=cand_dims, cand_size=cand_size,
         cand_capacity=pad8(max(cand_occupancy, 2)),
@@ -429,7 +438,8 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     m_all = n + Mg
     owned_valid = jnp.ones(n, bool) if valid is None else valid
     valid_row = jnp.concatenate([owned_valid, ghost_valid])
-    mn = jnp.asarray(np.array(plan.grid_mn), dtype)
+    lo_off = lo - jnp.asarray(np.array(plan.lo_ref), dtype)
+    mn = jnp.asarray(np.array(plan.grid_mn), dtype) + lo_off
     x_pad = jnp.concatenate([x_all, jnp.full((1, 3), 1e7, dtype)], axis=0)
     t_pad = jnp.concatenate([t_all, jnp.zeros(1, t_all.dtype)])
 
@@ -537,9 +547,10 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
                 else:
                     neg_vals, pos = jax.lax.top_k(-key, K)
                     mask = neg_vals > -BIG
-                    rowb = jnp.arange(CH, dtype=jnp.int32)[:, None] * W
-                    idx = cand.reshape(-1)[rowb + pos]
-                    jtype = cand_t.reshape(-1)[rowb + pos]
+                    # per-row gather (NOT a flat CH*W index: that product
+                    # exceeds int32 at ~4M atoms/shard and OverflowErrors)
+                    idx = jnp.take_along_axis(cand, pos, axis=1)
+                    jtype = jnp.take_along_axis(cand_t, pos, axis=1)
                     idx = jnp.where(mask, idx, 0).astype(jnp.int32)
                     jtype = jnp.where(mask, jtype, 0).astype(jnp.int32)
                 kmax_c = jnp.max(jnp.sum(m_tier, axis=1))
@@ -578,7 +589,7 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     if plan.cell_tiers:
         from .build import CellData
         C = plan.cell_capacity
-        cmn = jnp.asarray(np.array(plan.cell_mn), dtype)
+        cmn = jnp.asarray(np.array(plan.cell_mn), dtype) + lo_off
         dense_c, _, occc, ovc = _bin_dense(
             x_all, valid_row, cmn, plan.cell_size, plan.cell_dims, C, m_all)
         flags["cell_overflow"] = ovc

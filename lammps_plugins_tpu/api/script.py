@@ -594,15 +594,21 @@ class Script:
             gmask = self._group_mask(group)
             state = velocity_create(state, self.units, t_target, seed,
                                     group_mask=gmask, **kw)
-        # ordering check: fix bfield must precede the time integrator
-        # (fix_bfield.cpp:206-219)
-        seen_bfield = False
-        for f in self.fixes:
-            if isinstance(f, FixBfield):
-                seen_bfield = True
-            if f.time_integrate and isinstance(f, FixNVT) and seen_bfield:
-                raise ScriptError("fix bfield requires an NVE style "
-                                  "integrator")
+        # ordering check: fix bfield must precede the time integrator and
+        # the integrator must be NVE-style (fix_bfield.cpp:206-219)
+        if any(isinstance(f, FixBfield) for f in self.fixes):
+            seen_bfield = False
+            for f in self.fixes:
+                if isinstance(f, FixBfield):
+                    seen_bfield = True
+                if getattr(f, "time_integrate", False):
+                    if not seen_bfield:
+                        raise ScriptError(
+                            "fix bfield must be defined before NVE style "
+                            "time integrator")
+                    if isinstance(f, FixNVT):
+                        raise ScriptError("fix bfield requires an NVE "
+                                          "style integrator")
         return Engine(state, self.pair, self.fixes, self.units,
                       dt=self.dt, skin=self.skin)
 

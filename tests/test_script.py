@@ -90,3 +90,32 @@ def test_plugin_load_registers_styles(tmp_path):
     s.run_text(f"plugin load {plug}\nplugin list\n")
     assert "nve_custom_test" in registry.FIX_STYLES
     del registry.FIX_STYLES["nve_custom_test"]
+
+
+def test_bfield_ordering_enforced(monkeypatch):
+    """fix bfield must precede the time integrator and the integrator must
+    be NVE-style (fix_bfield.cpp:206-219)."""
+    monkeypatch.chdir(AEAM_DIR)
+    base = """
+units metal
+atom_style charge
+boundary p p p
+lattice fcc 4.05
+region box block 0 2 0 2 0 2
+create_box 1 box
+create_atoms 1 box
+mass 1 26.98
+pair_style aeam
+pair_coeff * * AlSi.aeam Al
+"""
+    # integrator defined before bfield -> error
+    s = Script(log=lambda _: None)
+    s.run_text(base + "fix 1 all nve\nfix 2 all bfield 0 0 5.0\n")
+    with pytest.raises(ScriptError, match="must be defined before"):
+        s.command("run 1")
+    # NVT integrator with bfield -> error
+    s = Script(log=lambda _: None)
+    s.run_text(base
+               + "fix 1 all bfield 0 0 5.0\nfix 2 all nvt temp 300 300 0.1\n")
+    with pytest.raises(ScriptError, match="NVE style integrator"):
+        s.command("run 1")

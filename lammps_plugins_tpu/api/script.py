@@ -616,8 +616,9 @@ class Script:
                "pe": "pe", "poteng": "pe", "ke": "ke", "kineng": "ke",
                "etotal": "etotal", "vol": "vol", "cellgamma": "cellgamma",
                "cellalpha": "cellalpha", "cellbeta": "cellbeta",
-               "epair": "pe", "emol": None, "lx": None, "ly": None,
-               "lz": None, "pxx": None, "pyy": None, "pzz": None}
+               "epair": "pe", "emol": None, "lx": "lx", "ly": "ly",
+               "lz": "lz", "pxx": "pxx", "pyy": "pyy", "pzz": "pzz",
+               "pxy": "pxy", "pxz": "pxz", "pyz": "pyz"}
 
     def cmd_run(self, args):
         n = int(args[0])

@@ -56,10 +56,12 @@ def thermo_row(state: State, pe, virial_w, units: UnitSystem,
     """All standard quantities; the driver selects columns."""
     ke = kinetic_energy(state, units)
     alpha, beta, gamma = state.box.cell_angles_deg()
+    ptens = pressure_tensor(state, virial_w, units)
+    h = state.box.h
     return {
         "step": state.step,
         "temp": temperature(state, units),
-        "press": pressure(state, virial_w, units),
+        "press": jnp.trace(ptens) / 3.0,
         "pe": pe + fix_energy,
         "ke": ke,
         "etotal": pe + fix_energy + ke,
@@ -67,4 +69,11 @@ def thermo_row(state: State, pe, virial_w, units: UnitSystem,
         "cellalpha": alpha,
         "cellbeta": beta,
         "cellgamma": gamma,
+        # diagonal pressure components and box edges (thermo.cpp custom
+        # keywords pxx/pyy/pzz/pxy/pxz/pyz and lx/ly/lz)
+        "pxx": ptens[0, 0], "pyy": ptens[1, 1], "pzz": ptens[2, 2],
+        "pxy": 0.5 * (ptens[0, 1] + ptens[1, 0]),
+        "pxz": 0.5 * (ptens[0, 2] + ptens[2, 0]),
+        "pyz": 0.5 * (ptens[1, 2] + ptens[2, 1]),
+        "lx": h[0, 0], "ly": h[1, 1], "lz": h[2, 2],
     }

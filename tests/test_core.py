@@ -66,3 +66,25 @@ def test_custom_lattice_spacings_match_log():
     s = mos2_lattice().spacings()
     np.testing.assert_allclose(s, [4.7867748, 2.7651482, 13.982768],
                                atol=5e-7)
+
+
+def test_pressure_tensor_thermo_columns():
+    """pxx/pyy/pzz diagonal averages to press; lx/ly/lz match the box
+    (thermo.cpp custom keywords)."""
+    import jax
+    from lammps_plugins_tpu.api.scenes import rebomos_bulk
+    from lammps_plugins_tpu.core import units
+    from lammps_plugins_tpu.fixes.nve import FixNVE
+    from lammps_plugins_tpu.potentials.rebomos import REBOMoS
+    from lammps_plugins_tpu.run.simulation import Engine
+
+    state = rebomos_bulk()
+    pair = REBOMoS.from_file(
+        "/root/reference/USER-REBOMOS/MoS.REBO.set5b", ["M", "S"])
+    eng = Engine(state, pair, [FixNVE()], units.METAL)
+    r = eng.run(0, thermo_every=1)[0]
+    assert abs(r["press"] - (r["pxx"] + r["pyy"] + r["pzz"]) / 3) \
+        < 1e-9 * abs(r["press"])
+    assert abs(float(r["lx"]) - float(state.box.h[0, 0])) < 1e-12
+    assert abs(float(r["vol"])
+               - float(r["lx"] * r["ly"] * r["lz"])) < 1e-6 * float(r["vol"])

@@ -610,10 +610,46 @@ class REBOMoS(PairStyle):
         return self._rebo_energy_core(dx, dy, dz, rsq, mask, rebo,
                                       el_own, el_all)
 
+    #: chunk the [N,K,K] angular tensors when they would exceed this many
+    #: elements (512 MB f32 per tensor).  The XLA energy/vjp path
+    #: materializes ~a dozen such tensors; unchunked, an 8M-atom sharded
+    #: run needs >130 GB host RAM (observed OOM).  Small systems (all the
+    #: f64 golden paths) stay single-shot: chunking changes summation
+    #: order at the last-ulp level.
+    _CHUNK_ELEMS = 128 * 1024 * 1024
+    _CHUNK_ROWS = 16384
+
     def _rebo_energy_core(self, dx, dy, dz, rsq, mask, rebo, el_own, el_all):
-        r = jnp.sqrt(rsq)
-        ei = el_own[:, None]                    # [N,1]
+        ei = jnp.broadcast_to(el_own[:, None], mask.shape)   # [N,K]
         ej = self._jel(rebo, el_all)
+        N, K = mask.shape
+        if N * K * K <= self._CHUNK_ELEMS:
+            return self._rebo_energy_rows(dx, dy, dz, rsq, mask, ei, ej)
+        # row-chunked + rematerialized: the energy is a sum of row-local
+        # terms, so lax.map over row blocks bounds peak memory to one
+        # block's tensors — for the forward AND (via jax.checkpoint) for
+        # any vjp through this function (forces, strain virial)
+        CH = self._CHUNK_ROWS
+        nch = -(-N // CH)
+        pad = nch * CH - N
+
+        def padr(a, fill):
+            return jnp.pad(a, ((0, pad), (0, 0)),
+                           constant_values=fill).reshape(nch, CH, K)
+
+        xs = (padr(dx, 0.0), padr(dy, 0.0), padr(dz, 0.0), padr(rsq, 1.0),
+              padr(mask, False), padr(ei, 0), padr(ej, 0))
+
+        @jax.checkpoint
+        def body(args):
+            return self._rebo_energy_rows(*args)
+
+        return jnp.sum(jax.lax.map(body, xs))
+
+    def _rebo_energy_rows(self, dx, dy, dz, rsq, mask, ei, ej):
+        """Row-local REBO energy (every term depends only on its own row's
+        edge data — the property the chunked path above relies on)."""
+        r = jnp.sqrt(rsq)
 
         w = sp_cutoff(r, lookup22(self.rcmin, ei, ej),
                       lookup22(self.rcmax, ei, ej))
@@ -644,15 +680,16 @@ class REBOMoS(PairStyle):
         # (cos = -1) exist in the perfect MoS2 lattice, so a plain clip would
         # zero gradients the reference keeps.
         cos = cos + jax.lax.stop_gradient(jnp.clip(cos, -1.0, 1.0) - cos)
-        bI = lookup2(self.b, el_own)[:, None, None, :]   # [N,1,1,7]
-        bgI = lookup2(self.bg, el_own)[:, None, None, :]
+        eI = ei[:, 0]                           # [N] center element
+        bI = lookup2(self.b, eI)[:, None, None, :]       # [N,1,1,7]
+        bgI = lookup2(self.bg, eI)[:, None, None, :]
         g = g_spline(cos, bI, bgI)              # [N,K,K]
-        K = rebo.capacity
+        K = mask.shape[1]
         not_diag = ~jnp.eye(K, dtype=bool)[None, :, :]
         kmask = mask[:, None, :] & not_diag     # k valid, k != j (slot)
         Etmp = jnp.sum(jnp.where(kmask, w[:, None, :] * g, 0.0), axis=2)
 
-        P = p_coord(nM, nS, lookup2(self.a, el_own))     # [N]
+        P = p_coord(nM, nS, lookup2(self.a, eI))         # [N]
         pij = jax.lax.rsqrt(1.0 + Etmp + P[:, None])
 
         live = mask & (w > TOL)                 # wij <= TOL skip, cpp:412

@@ -107,3 +107,38 @@ def test_newtons_third_law(rebo_file):
                               pair.neighbor_requests(), skin=2.0)
     _, F, _ = pair.energy_force_virial(x, state.type, nbr, state.box.h)
     assert float(jnp.abs(jnp.sum(F, axis=0)).max()) < 1e-9
+
+
+def test_chunked_energy_core_matches_single_shot():
+    """The row-chunked + rematerialized REBO energy path (used when the
+    [N,K,K] angular tensors would exceed the memory threshold) must agree
+    with the single-shot path for energy, forces, and virial."""
+    import numpy as np
+    from lammps_plugins_tpu.api.scenes import rebomos_bulk
+    from lammps_plugins_tpu.core import units
+    from lammps_plugins_tpu.fixes.nve import FixNVE
+    from lammps_plugins_tpu.potentials.rebomos import REBOMoS
+    from lammps_plugins_tpu.run.simulation import Engine
+
+    state = rebomos_bulk()
+    pair = REBOMoS.from_file(
+        "/root/reference/USER-REBOMOS/MoS.REBO.set5b", ["M", "S"])
+    eng = Engine(state, pair, [FixNVE()], units.METAL)
+    pe1, _ = eng.evaluate()
+    f1 = np.asarray(eng.state.f)
+    r1 = eng.run(0, thermo_every=1)[0]
+
+    old = (REBOMoS._CHUNK_ELEMS, REBOMoS._CHUNK_ROWS)
+    try:
+        REBOMoS._CHUNK_ELEMS = 1
+        REBOMoS._CHUNK_ROWS = 37          # non-divisor: exercises padding
+        eng2 = Engine(state, pair, [FixNVE()], units.METAL)
+        pe2, _ = eng2.evaluate()
+        f2 = np.asarray(eng2.state.f)
+        r2 = eng2.run(0, thermo_every=1)[0]
+    finally:
+        REBOMoS._CHUNK_ELEMS, REBOMoS._CHUNK_ROWS = old
+
+    assert abs(float(pe2 - pe1)) < 1e-9
+    assert np.abs(f2 - f1).max() < 1e-10
+    assert abs(float(r2["press"] - r1["press"])) < 1e-6

@@ -49,9 +49,14 @@ class ScriptError(ValueError):
 class Script:
     """Stateful command interpreter (one LAMMPS 'input deck')."""
 
-    def __init__(self, dtype=jnp.float64, log: Callable[[str], None] = print):
+    def __init__(self, dtype=jnp.float64, log: Callable[[str], None] = print,
+                 n_devices: int = 1):
+        """n_devices > 1 runs the deck on the production sharded engine
+        over a `jax.sharding.Mesh` of that many devices — the analogue of
+        `mpirun -np N lmp -in deck` (log.rebomos-bulk.4)."""
         self.dtype = dtype
         self.log = log
+        self.n_devices = n_devices
         self.units = units_mod.METAL
         self.dimension = 3
         self.boundary = (True, True, True)
@@ -609,6 +614,11 @@ class Script:
                     if isinstance(f, FixNVT):
                         raise ScriptError("fix bfield requires an NVE "
                                           "style integrator")
+        if self.n_devices > 1:
+            from ..parallel.sharded_engine import ShardedEngine
+            return ShardedEngine(state, self.pair, self.fixes, self.units,
+                                 n_devices=self.n_devices, dt=self.dt,
+                                 skin=self.skin)
         return Engine(state, self.pair, self.fixes, self.units,
                       dt=self.dt, skin=self.skin)
 
@@ -643,9 +653,11 @@ class Script:
             fx = fix_by_id.get(name)
             if fx is None:
                 return 0.0
+            st = (eng.fix_view_state() if hasattr(eng, "fix_view_state")
+                  else eng.state)
             if k is None:
-                return float(fx.energy(eng.state, eng.ctx))
-            return float(fx.vector(eng.state)[k - 1])
+                return float(fx.energy(st, eng.ctx))
+            return float(fx.vector(st)[k - 1])
 
         def on_thermo(row):
             vals = []
@@ -665,7 +677,8 @@ class Script:
                        on_thermo=on_thermo,
                        callbacks=getattr(self, "dumps", ()))
         self.last_rows = rows
-        self.log(eng.timers.performance_summary(eng.ctx.dt))
+        if hasattr(eng, "timers"):
+            self.log(eng.timers.performance_summary(eng.ctx.dt))
         return rows
 
     # ------------------------------------------------------------------
@@ -675,7 +688,12 @@ class Script:
     # ------------------------------------------------------------------
     def cmd_write_restart(self, args):
         from ..run.checkpoint import save_state
-        st = self.engine.state if self.engine else self._state()
+        if self.engine is None:
+            st = self._state()
+        elif hasattr(self.engine, "to_state"):      # sharded: gather back
+            st = self.engine.to_state()
+        else:
+            st = self.engine.state
         save_state(args[0], st)
         self.log(f"Wrote restart file {args[0]}")
 

@@ -738,8 +738,21 @@ class ShardedEngine:
         press = float(np.trace(kin + np.asarray(W, np.float64))) / 3.0 \
             / vol * u.nktv2p
         step = int(jax.device_get(self.shards.step)[0])
+        ptens = (kin + np.asarray(W, np.float64)) / vol * u.nktv2p
+        # host-side geometry (eager jnp ops each cost a tunnel round-trip)
+        alpha, beta, gamma = self.box.cell_angles_deg_np()
+        h = self.box.h_np()
         return {"step": step, "temp": T, "pe": float(E), "ke": ke,
-                "etotal": float(E) + ke, "press": press, "vol": vol}
+                "etotal": float(E) + ke, "press": press, "vol": vol,
+                "cellalpha": float(alpha), "cellbeta": float(beta),
+                "cellgamma": float(gamma),
+                "pxx": float(ptens[0, 0]), "pyy": float(ptens[1, 1]),
+                "pzz": float(ptens[2, 2]),
+                "pxy": 0.5 * float(ptens[0, 1] + ptens[1, 0]),
+                "pxz": 0.5 * float(ptens[0, 2] + ptens[2, 0]),
+                "pyz": 0.5 * float(ptens[1, 2] + ptens[2, 1]),
+                "lx": float(h[0, 0]), "ly": float(h[1, 1]),
+                "lz": float(h[2, 2])}
 
     # -- main loop ---------------------------------------------------------
     def _segment(self, seg: int):
@@ -839,17 +852,41 @@ class ShardedEngine:
         self._pending_rebuild = pending
         self._f_valid = True
 
-    def run(self, nsteps: int, thermo_every: int = 0):
+    def run(self, nsteps: int, thermo_every: int = 0,
+            on_thermo=None, callbacks=()):
+        """Run `nsteps`; same contract as Engine.run.  `callbacks`
+        ((every, fn) pairs, e.g. dump writers) receive the GATHERED global
+        State — the sharded analogue of LAMMPS ranks funnelling dump data
+        to the writing proc."""
         self._setup_forces()
         rows = []
-        if thermo_every:
-            rows.append(self.thermo())
-        half_skin_sq = (0.5 * self.skin) ** 2
+
+        def emit():
+            row = self.thermo()
+            rows.append(row)
+            if on_thermo:
+                on_thermo(row)
+
+        def fire_callbacks():
+            st = None
+            for every, fn in callbacks:
+                if done % every == 0:
+                    if st is None:
+                        st = self.to_state()
+                    fn(st)
+
         done = 0
+        if thermo_every:
+            emit()
+        for every, fn in callbacks:
+            fn(self.to_state())
+        half_skin_sq = (0.5 * self.skin) ** 2
         while done < nsteps:
             span = nsteps - done
             if thermo_every:
                 span = min(span, thermo_every - (done % thermo_every))
+            for every, _ in callbacks:
+                span = min(span, every - (done % every))
 
             fused = getattr(self, "fused_loop", None)
             if fused is None:
@@ -857,10 +894,18 @@ class ShardedEngine:
             if fused and span >= self.check_every:
                 m = (span // self.check_every) * self.check_every
                 m = min(m, 16 * self.check_every)
-                self._run_span_device(m)
+                try:
+                    self._run_span_device(m)
+                except Exception as e:
+                    import warnings
+                    warnings.warn(f"fused sharded loop failed ({e!r}); "
+                                  "falling back to the per-segment loop")
+                    self.fused_loop = False
+                    continue
                 done += m
                 if thermo_every and done % thermo_every == 0:
-                    rows.append(self.thermo())
+                    emit()
+                fire_callbacks()
                 continue
 
             seg = min(self.check_every, span)
@@ -880,9 +925,19 @@ class ShardedEngine:
                 self.shards = new_ss
             done += seg
             if thermo_every and done % thermo_every == 0:
-                rows.append(self.thermo())
+                emit()
+            fire_callbacks()
         self.thermo_rows = rows
         return rows
+
+    def fix_view_state(self):
+        """State-shaped view carrying the (replicated) fix extras for
+        fix-output reads (compute_scalar/vector, fix_bfield.cpp:542-562).
+        Reductions inside the sharded step already psum'd these, so row 0
+        of each [Pn, ...] leaf IS the global value."""
+        import types
+        extras = jax.tree_util.tree_map(lambda a: a[0], self.shards.extras)
+        return types.SimpleNamespace(extras=extras)
 
     # -- gather back -------------------------------------------------------
     def to_state(self) -> State:

@@ -549,8 +549,18 @@ class Engine:
                 # and re-runs the whole span) has bounded redo cost.
                 m = (span // self.check_every) * self.check_every
                 m = min(m, 16 * self.check_every)
-                with self.timers.section("Pair"):
-                    self._run_span_device(m)
+                try:
+                    with self.timers.section("Pair"):
+                        self._run_span_device(m)
+                except Exception as e:
+                    # never die on the fused path: fall back to the
+                    # per-segment host loop (same physics, more host
+                    # round-trips) and keep going
+                    import warnings
+                    warnings.warn(f"fused device loop failed ({e!r}); "
+                                  "falling back to the host loop")
+                    self.fused_loop = False
+                    continue
                 done += m
                 if thermo_every and done % thermo_every == 0:
                     emit()

@@ -182,6 +182,41 @@ def test_sharded_bfield_nvt_trajectory():
                           skin=1.0)
 
 
+def test_sharded_callbacks_and_fix_output():
+    """Dump callbacks receive the gathered global State at the right
+    steps, and fix outputs (compute_scalar/vector — the MPI_Allreduce'd
+    fsum, fix_bfield.cpp:542-562) read identically to single-device."""
+    pair = AEAM.from_file(AEAM_FILE, ["Al", "Si"])
+    state = _alsi_state(pair)
+    q = np.full(state.natoms, 0.01)
+    state = state.replace(q=jnp.asarray(q, state.x.dtype))
+    state = velocity_create(state, units.METAL, 400.0, seed=9)
+
+    def fx():
+        return [FixBfield(0.0, 0.0, 5.0), FixNVE()]
+
+    fires = []
+    fixes_s = fx()
+    se = ShardedEngine(state, pair, fixes_s, units.METAL, n_devices=2,
+                       check_every=5, skin=1.0)
+    se.run(10, callbacks=((5, lambda st: fires.append(st)),))
+    assert len(fires) == 3          # steps 0, 5, 10 (like Engine.run)
+    assert all(st.natoms == state.natoms for st in fires)
+    assert np.isfinite(np.asarray(fires[-1].x)).all()
+
+    fixes_1 = fx()
+    eng = Engine(state, pair, fixes_1, units.METAL,
+                 device_rebuild=False, check_every=5, skin=1.0)
+    eng.run(10)
+    view = se.fix_view_state()
+    e_s = float(fixes_s[0].energy(view, se.ctx))
+    e_1 = float(fixes_1[0].energy(eng.state, eng.ctx))
+    assert abs(e_s - e_1) <= 1e-9 * max(1.0, abs(e_1))
+    np.testing.assert_allclose(np.asarray(fixes_s[0].vector(view)),
+                               np.asarray(fixes_1[0].vector(eng.state)),
+                               atol=1e-12, rtol=1e-9)
+
+
 @pytest.mark.skipif(
     not __import__("os").environ.get("LPT_FUSED_SHARDED_TEST"),
     reason="passes, but the fused sharded graph is a ~36 min XLA:CPU "
@@ -211,3 +246,31 @@ def test_sharded_fused_loop_matches_host_loop():
                                rtol=1e-13, atol=1e-13)
     np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_h.v),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_script_dsl_sharded_matches_single():
+    """The reference deck (scaled 6x in x so 4 slabs fit the ghost margin)
+    run through the L5 input DSL on the sharded engine reproduces the
+    single-device thermo rows — the DSL-level analogue of
+    `mpirun -np 4 lmp -in in.rebomos-bulk` (log.rebomos-bulk.4)."""
+    import os
+    text = open("/root/reference/USER-REBOMOS/in.rebomos-bulk").read()
+    text = text.replace("region box prism 0 4 0 8 0 1 -2.0 0.0 0.0",
+                        "region box prism 0 24 0 8 0 1 -2.0 0.0 0.0")
+    cwd = os.getcwd()
+    os.chdir("/root/reference/USER-REBOMOS")
+    try:
+        from lammps_plugins_tpu.api.script import Script
+        s1 = Script(log=lambda _: None)
+        s1.run_text(text)
+        s4 = Script(log=lambda _: None, n_devices=4)
+        s4.run_text(text)
+    finally:
+        os.chdir(cwd)
+    assert len(s1.last_rows) == len(s4.last_rows) == 3
+    for r1, r4 in zip(s1.last_rows, s4.last_rows):
+        assert abs(float(r4["pe"]) - float(r1["pe"])) \
+            < 1e-8 * abs(float(r1["pe"]))
+        assert abs(float(r4["temp"]) - float(r1["temp"])) < 1e-6
+        assert abs(float(r4["press"]) - float(r1["press"])) < 1e-4
+        assert abs(float(r4["cellgamma"]) - float(r1["cellgamma"])) < 1e-9

@@ -57,8 +57,14 @@ def main():
     from lammps_plugins_tpu.run.simulation import Engine
 
     state = alsi_sample(nc=nc, dtype=jnp.float32)
+    # fast mode by default for the f32 benchmark: gather-free piecewise-
+    # Chebyshev pair terms (potentials/polyfit.py documents the <=2e-2
+    # eV/A bound vs the table spline); LPT_AEAM_POLY=0 for the exact path
+    os.environ.setdefault("LPT_AEAM_POLY", "1")
     pair = AEAM.from_file("/root/reference/USER-AEAM/AlSi.aeam",
                           ["Al", "Si"], dtype=jnp.float32)
+    print(f"# poly_mode={pair.poly is not None}", file=sys.stderr,
+          flush=True)
     state = velocity_create(state, units.METAL, 863.0, seed=4928459)
     natoms = state.natoms
     eng = Engine(state, pair, [FixNVT(863.0, 863.0, 0.1)], units.METAL,

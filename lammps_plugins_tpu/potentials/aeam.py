@@ -57,10 +57,15 @@ CUTDEC = 1.5          # pair_aeam.cpp:188
 class AEAM(PairStyle):
     """pair_style aeam — see module docstring."""
 
-    def __init__(self, tables: AEAMTables, typemap, dtype=jnp.float64):
+    def __init__(self, tables: AEAMTables, typemap, dtype=jnp.float64,
+                 poly_mode: bool | None = None):
         self.tables = tables
         self.typemap_np = np.asarray(typemap, dtype=np.int32)
         self.dtype = dtype
+        if poly_mode is None:
+            import os
+            poly_mode = os.environ.get("LPT_AEAM_POLY") == "1"
+        self.poly_mode = bool(poly_mode)
         t = tables
         nel = t.nelements
         self.nel = nel
@@ -160,6 +165,12 @@ class AEAM(PairStyle):
                 for j in range(nel):
                     rows21[i * nel + j, :, 14:21] = rhor[j * nel + i]
             self.pair_flat21 = as_d(rows21.reshape(-1, 21))
+        self.poly = None
+        if self.poly_mode and self._sym_grids:
+            from .polyfit import fit_aeam_polys
+            self.poly = fit_aeam_polys(t, rhor, z2r, z2r_map)
+        elif self.poly_mode:
+            self.poly_mode = False      # needs per-unordered-pair grids
 
     def prepare(self, types_np: np.ndarray) -> None:
         """Precompute the angular-center index set (static per system).
@@ -192,7 +203,8 @@ class AEAM(PairStyle):
         return p
 
     @classmethod
-    def from_file(cls, path: str, elements, dtype=jnp.float64):
+    def from_file(cls, path: str, elements, dtype=jnp.float64,
+                  poly_mode: bool | None = None):
         """elements: per 1-based atom type, names matching the file's element
         order (the reference enforces exact order, pair_aeam.cpp:568-572)."""
         t = read_aeam(path)
@@ -205,7 +217,7 @@ class AEAM(PairStyle):
                     f"No matching element {el!r} in AEAM file "
                     f"(has {t.elements})")
             tmap[i] = t.elements.index(el)
-        return cls(t, tmap, dtype=dtype)
+        return cls(t, tmap, dtype=dtype, poly_mode=poly_mode)
 
     @property
     def masses(self):
@@ -438,6 +450,60 @@ class AEAM(PairStyle):
         gx, gy, gz = vjp(jnp.ones((), x.dtype) + 0.0 * x[0, 0])
         return mirror_combine(gx, gy, gz, main)
 
+    # -- gather-free piecewise-polynomial pair terms (poly_mode) ----------
+    def _poly_chain(self, code, shape, coefs):
+        """Per-edge power-basis coefficients via a select chain over the
+        (table, segment) code.  All coefficients are compile-time scalars:
+        no table gather, pure VPU selects (the same reasoning as _sel_tab —
+        gathers from tiny sources hit the TPU scalar path)."""
+        cs = []
+        ncode = coefs.shape[0]
+        for k in range(coefs.shape[1]):
+            col = coefs[:, k]
+            out = jnp.full(shape, float(col[0]), self.dtype)
+            for cidx in range(1, ncode):
+                out = jnp.where(code == cidx, float(col[cidx]), out)
+            cs.append(out)
+        return cs
+
+    def _poly_pair_terms(self, ei, ej, r, cut_ij):
+        """(f_ij, f'_ij, f'_ji, phi'_ij) per edge from the piecewise
+        Chebyshev refits (see polyfit.py for the fidelity statement).
+        Replaces the fused 21-wide spline-row gather of the exact path."""
+        from .polyfit import U0, NSEG, DEG
+        inv_cut = 1.0 / cut_ij
+        u = r * inv_cut
+        t = (u - U0) * (NSEG / (1.0 - U0))
+        t = jnp.clip(t, 0.0, NSEG * (1.0 - 1e-6))
+        seg = jnp.floor(t).astype(jnp.int32)
+        v = 2.0 * (t - seg) - 1.0
+        dv_dr = (2.0 * NSEG / (1.0 - U0)) * inv_cut
+        code_f = (ei * self.nel + ej) * NSEG + seg
+        code_r = (ej * self.nel + ei) * NSEG + seg
+        fco = self.poly.f_coef.reshape(-1, DEG + 1)
+        pco = self.poly.phi_coef.reshape(-1, DEG + 1)
+
+        def horner(cs, want_val, want_der):
+            val = der = None
+            if want_val:
+                val = cs[DEG]
+                for k in range(DEG - 1, -1, -1):
+                    val = val * v + cs[k]
+            if want_der:
+                der = DEG * cs[DEG]
+                for k in range(DEG - 1, 0, -1):
+                    der = der * v + k * cs[k]
+                der = der * dv_dr
+            return val, der
+
+        f_ij, fp_ij = horner(self._poly_chain(code_f, r.shape, fco),
+                             True, True)
+        _, fp_ji = horner(self._poly_chain(code_r, r.shape, fco),
+                          False, True)
+        _, phip = horner(self._poly_chain(code_f, r.shape, pco),
+                         False, True)
+        return f_ij, fp_ij, fp_ji, phip
+
     def _embed_deriv(self, ei, p_arg):
         """dF/drho from the derivative coefficient rows (cpp:940 fp)."""
         n = self.frho_n[ei]
@@ -475,16 +541,21 @@ class AEAM(PairStyle):
         in_leg = mask & (r <= leg_cut)
         in_pair = mask & (r <= cut_ij)
 
-        tab = jnp.broadcast_to(ei * self.nel + ej, r.shape)
-        p_raw = r * self._sel_tab(tab, self.rhor_rdr_np) + 1.0
-        nknot = self._sel_tab(tab, self.rhor_nr_np).astype(jnp.int32)
-        m = jnp.minimum(jnp.floor(p_raw).astype(jnp.int32), nknot - 1)
-        p = jnp.minimum(p_raw - m, 1.0)
-        c = self.pair_flat21[tab * self.rhor_stride + m]   # [N,K,21]
-        f_ij = ((c[..., 3] * p + c[..., 4]) * p + c[..., 5]) * p + c[..., 6]
-        fp_ij = (c[..., 0] * p + c[..., 1]) * p + c[..., 2]
-        phip = (c[..., 7] * p + c[..., 8]) * p + c[..., 9]
-        fp_ji = (c[..., 14] * p + c[..., 15]) * p + c[..., 16]
+        if self.poly is not None:
+            f_ij, fp_ij, fp_ji, phip = self._poly_pair_terms(ei, ej, r,
+                                                             cut_ij)
+        else:
+            tab = jnp.broadcast_to(ei * self.nel + ej, r.shape)
+            p_raw = r * self._sel_tab(tab, self.rhor_rdr_np) + 1.0
+            nknot = self._sel_tab(tab, self.rhor_nr_np).astype(jnp.int32)
+            m = jnp.minimum(jnp.floor(p_raw).astype(jnp.int32), nknot - 1)
+            p = jnp.minimum(p_raw - m, 1.0)
+            c = self.pair_flat21[tab * self.rhor_stride + m]   # [N,K,21]
+            f_ij = ((c[..., 3] * p + c[..., 4]) * p + c[..., 5]) * p \
+                + c[..., 6]
+            fp_ij = (c[..., 0] * p + c[..., 1]) * p + c[..., 2]
+            phip = (c[..., 7] * p + c[..., 8]) * p + c[..., 9]
+            fp_ji = (c[..., 14] * p + c[..., 15]) * p + c[..., 16]
 
         # density field (linear everywhere; angular subset replaces below)
         fw = jnp.where(in_leg, f_ij, 0.0)

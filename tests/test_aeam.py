@@ -218,6 +218,56 @@ def test_fast_forces_match_autodiff(aeam_pair):
                                rtol=1e-12)
 
 
+def test_poly_mode_forces_close_to_exact(aeam_file, aeam_pair):
+    """Opt-in poly mode (gather-free piecewise-Chebyshev refit of the
+    tabulated f/phi, potentials/polyfit.py): forces must track the exact
+    table-spline path within the documented fit bounds on a hot
+    (863 K-kicked) configuration, and total energy must be unaffected
+    (energy always uses the exact tables)."""
+    from lammps_plugins_tpu.fixes.velocity import (set_type_fraction,
+                                                   velocity_create)
+    pair_poly = AEAM.from_file(aeam_file, ["Al", "Si"], poly_mode=True)
+    assert pair_poly.poly is not None
+    # fit self-report: value errors at table-quantization level, derivative
+    # errors bounded by the table's own derivative jitter (polyfit.py)
+    assert pair_poly.poly.err["f"][0] < 5e-7
+    assert pair_poly.poly.err["f"][1] < 2e-3
+    assert pair_poly.poly.err["phi"][0] < 5e-4
+    assert pair_poly.poly.err["phi"][1] < 1e-1
+
+    a = 4.045
+    lat = Lattice.fcc(a)
+    box = Box.orthogonal([a * 5] * 3)
+    pos, types = create_atoms_box(lat, box, [1, 1, 1, 1])
+    state = State.create(x=jnp.asarray(pos), type=types, box=box,
+                         mass=aeam_pair.masses)
+    state = set_type_fraction(state, 2, 0.05, seed=3)
+    state = velocity_create(state, units.METAL, 863.0, seed=7)
+    eng = Engine(state, aeam_pair, [FixNVE()], units.METAL,
+                 device_rebuild=False, skin=1.0)
+    eng.evaluate()
+    eng.run(20)
+    st, nbr = eng.state, eng.nbr
+    aeam_pair.prepare(np.asarray(st.type))
+    pair_poly.prepare(np.asarray(st.type))
+
+    f_exact = np.asarray(aeam_pair._forces_fast(st.x, st.type, nbr,
+                                                st.box.h))
+    f_poly = np.asarray(pair_poly._forces_fast(st.x, st.type, nbr,
+                                               st.box.h))
+    d = np.abs(f_poly - f_exact)
+    assert d.max() < 5e-2, f"poly force max dev {d.max()}"
+    rms = float(np.sqrt((d ** 2).mean()))
+    assert rms < 5e-3, f"poly force rms dev {rms}"
+
+    # energy path is shared (exact) — identical to the last digit
+    e1 = float(aeam_pair.energy(st.x, jnp.zeros((3, 3), st.x.dtype),
+                                st.type, nbr, st.box.h))
+    e2 = float(pair_poly.energy(st.x, jnp.zeros((3, 3), st.x.dtype),
+                                st.type, nbr, st.box.h))
+    assert e1 == e2
+
+
 def test_force_pass_deviation_quantified(aeam_pair):
     """Quantify the documented deviation from the reference's force pass
     (pair_aeam.cpp:350 full-cut j-leg vs :192 reduced-cut density leg).

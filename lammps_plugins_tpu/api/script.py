@@ -528,21 +528,28 @@ class Script:
     def cmd_compute(self, args):
         """compute ID group style — pe/atom and ke/atom supported."""
         cid, group, style = args[0], args[1], args[2]
-        if group != "all":
-            raise ScriptError("compute supports group 'all' only")
+        gmask = self._group_mask(group)     # None for "all"
         if style == "pe/atom":
-            def provider(state):
+            def raw(state):
                 eng = self.engine
                 return eng.pair.energy_peratom(state.x, state.type, eng.nbr,
                                                state.box.h)
         elif style == "ke/atom":
-            def provider(state):
+            def raw(state):
                 import jax.numpy as jnp
                 m = state.per_atom_mass
                 return 0.5 * self.units.mvv2e * m \
                     * jnp.sum(state.v ** 2, axis=1)
         else:
             raise ScriptError(f"Unsupported compute style {style}")
+
+        def provider(state, _raw=raw, _g=gmask):
+            out = _raw(state)
+            if _g is not None:
+                import jax.numpy as jnp
+                out = jnp.where(jnp.asarray(_g), out, 0.0)
+            return out
+
         if not hasattr(self, "computes"):
             self.computes = {}
         self.computes[f"c_{cid}"] = provider
@@ -552,13 +559,15 @@ class Script:
         from ..run.dump import DumpWriter
         did, group, style, every, path = args[0], args[1], args[2], \
             int(args[3]), args[4]
-        if group != "all":
-            raise ScriptError("dump supports group 'all' only")
+        gmask = self._group_mask(group)
+        if gmask is not None:
+            gmask = np.asarray(gmask, bool)
         providers = getattr(self, "computes", {})
         if style == "atom":
-            writer = DumpWriter(path)
+            writer = DumpWriter(path, group_mask=gmask)
         elif style == "custom":
-            writer = DumpWriter(path, columns=args[5:], providers=providers)
+            writer = DumpWriter(path, columns=args[5:], providers=providers,
+                                group_mask=gmask)
         else:
             raise ScriptError(f"Unsupported dump style {style}")
         if not hasattr(self, "dumps"):

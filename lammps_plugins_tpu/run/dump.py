@@ -20,12 +20,16 @@ from ..core.state import State
 class DumpWriter:
     def __init__(self, path: str, columns: Sequence[str] = ("id", "type",
                                                             "xs", "ys", "zs"),
-                 append: bool = False, providers=None):
+                 append: bool = False, providers=None, group_mask=None):
         """providers: optional {column_name: fn(state) -> [N] array} for
-        computed columns (e.g. c_1 for `compute 1 all pe/atom`)."""
+        computed columns (e.g. c_1 for `compute 1 all pe/atom`).
+        group_mask: optional [N] bool — only those atoms are written
+        (LAMMPS `dump ID group-ID ...` semantics); atom ids stay global."""
         self.path = path
         self.columns = list(columns)
         self.providers = dict(providers or {})
+        self.group_mask = (None if group_mask is None
+                           else np.asarray(group_mask, bool))
         self._fh = open(path, "a" if append else "w")
 
     def close(self):
@@ -65,6 +69,11 @@ class DumpWriter:
                 vals[c] = np.asarray(self.providers[c](state))
             else:
                 raise ValueError(f"Unknown dump column {c!r}")
+
+        if self.group_mask is not None:
+            sel = self.group_mask
+            vals = {c: v[sel] for c, v in vals.items()}
+            n = int(sel.sum())
 
         out: List[str] = []
         out.append("ITEM: TIMESTEP")

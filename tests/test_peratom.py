@@ -77,6 +77,34 @@ def test_script_compute_peratom_dump(tmp_path, monkeypatch, rebo_file):
     assert abs(vals.sum() - -2061.6112) < 1e-3
 
 
+def test_group_scoped_dump_and_compute(tmp_path, monkeypatch, rebo_file):
+    """`dump ID <group> ...` writes only group atoms (global ids kept) and
+    `compute ID <group> pe/atom` zeroes non-members — LAMMPS group
+    semantics for the output plumbing."""
+    monkeypatch.chdir("/root/reference/USER-REBOMOS")
+    from lammps_plugins_tpu.api.script import Script
+    dump = str(tmp_path / "grp.dump")
+    text = open("in.rebomos-bulk").read().replace("run 20", "run 0")
+    text = text.replace(
+        "#dump 1 all atom 10 MoS.lammpstrj",
+        "group sulfur type 2\ncompute 1 sulfur pe/atom\n"
+        f"dump 1 sulfur custom 10 {dump} id type c_1")
+    s = Script(log=lambda _: None)
+    s.run_text(text)
+    lines = open(dump).read().splitlines()
+    natoms = int(lines[lines.index("ITEM: NUMBER OF ATOMS") + 1])
+    t = np.asarray(s.types)
+    assert natoms == int((t == 2).sum()) < len(t)
+    hdr = [i for i, ln in enumerate(lines)
+           if ln.startswith("ITEM: ATOMS")][0]
+    rows = [ln.split() for ln in lines[hdr + 1:hdr + 1 + natoms]]
+    assert all(r[1] == "2" for r in rows)          # sulfur only
+    ids = np.array([int(r[0]) for r in rows])
+    assert ids.max() > natoms                      # global ids preserved
+    vals = np.array([float(r[2]) for r in rows])
+    assert np.isfinite(vals).all() and np.abs(vals).max() > 0.1
+
+
 def test_group_command_and_nve_group(monkeypatch, rebo_file):
     """fix <group> nve integrates only the group; others stay frozen."""
     monkeypatch.chdir("/root/reference/USER-REBOMOS")

@@ -37,7 +37,7 @@ from ..potentials.aeam import AEAM
 from ..potentials.rebomos import REBOMoS
 from ..run.simulation import Engine
 
-_NOOP_COMMANDS = {"dump_modify", "restart", "log", "echo",
+_NOOP_COMMANDS = {"dump_modify", "log", "echo",
                   "atom_modify", "processors", "suffix", "package",
                   "info", "write_data", "undump"}
 
@@ -572,6 +572,39 @@ class Script:
             raise ScriptError(f"Unsupported dump style {style}")
         if not hasattr(self, "dumps"):
             self.dumps = []
+        self.dumps.append((every, writer))
+
+    def cmd_restart(self, args):
+        """restart N file — periodic restart files during the run
+        (sample.in:23).  LAMMPS filename semantics: a '*' in the name is
+        replaced by the timestep; two filenames alternate; a bare name
+        gets '.<step>' appended."""
+        from ..run.checkpoint import save_state
+        every = int(args[0])
+        self.dumps = [d for d in getattr(self, "dumps", [])
+                      if getattr(d[1], "_is_restart", False) is False]
+        if every == 0:
+            return
+        if len(args) not in (2, 3):
+            raise ScriptError("restart N file [file2]")
+        names = args[1:]
+        counter = {"n": 0}
+
+        def writer(state):
+            step = int(state.step)
+            if step == 0 or step == counter.get("last"):
+                return                     # no file at step 0 (LAMMPS)
+            counter["last"] = step
+            if len(names) == 2:
+                name = names[counter["n"] % 2]
+                counter["n"] += 1
+            else:
+                name = names[0]
+            name = (name.replace("*", str(step)) if "*" in name
+                    else (name if len(names) == 2 else f"{name}.{step}"))
+            save_state(name, state)
+
+        writer._is_restart = True
         self.dumps.append((every, writer))
 
     def cmd_thermo(self, args):

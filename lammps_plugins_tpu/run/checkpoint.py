@@ -34,7 +34,8 @@ def save_state(path: str, state: State) -> None:
                 data[f"extras/{key}/{field}"] = np.asarray(val)
         else:
             data[f"extras/{key}"] = np.asarray(sub)
-    np.savez(path, **data)
+    with open(path, "wb") as fh:        # exact filename (np.savez would
+        np.savez(fh, **data)            # append ".npz" to a bare path)
 
 
 def load_state(path: str, dtype=jnp.float64) -> State:

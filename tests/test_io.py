@@ -97,3 +97,23 @@ def test_script_dump_and_restart(tmp_path, monkeypatch, rebo_file):
     assert frames == 3            # steps 0, 10, 20
     st = load_state(ck)
     assert int(st.step) == 20 and st.natoms == 288
+
+
+def test_script_periodic_restart(tmp_path, monkeypatch, rebo_file):
+    """`restart N file*` writes step-stamped checkpoints during the run
+    (sample.in:23 semantics) that resume exactly."""
+    monkeypatch.chdir("/root/reference/USER-REBOMOS")
+    from lammps_plugins_tpu.api.script import Script
+    root = str(tmp_path / "mos.rst.*")
+    text = open("in.rebomos-bulk").read()
+    text = text.replace("fix 1 all nve", f"restart 10 {root}\nfix 1 all nve")
+    s = Script(log=lambda _: None)
+    s.run_text(text)
+    f10 = str(tmp_path / "mos.rst.10")
+    f20 = str(tmp_path / "mos.rst.20")
+    assert os.path.exists(f10) and os.path.exists(f20)
+    assert not os.path.exists(str(tmp_path / "mos.rst.0"))
+    st = load_state(f20)
+    np.testing.assert_allclose(np.asarray(st.x),
+                               np.asarray(s.engine.state.x), atol=0)
+    assert int(load_state(f10).step) == 10

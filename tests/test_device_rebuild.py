@@ -151,6 +151,43 @@ def test_fused_device_loop_matches_host_loop(rebo_file):
                                rtol=1e-12, atol=1e-14)
 
 
+def test_fused_loop_falls_back_on_dispatch_failure(rebo_file):
+    """Any exception out of the fused span dispatch (e.g. a backend
+    compile failure on hardware the suite can't exercise) must degrade
+    to the per-segment host loop, not kill the run — the driver bench
+    depends on this guarantee."""
+    import warnings as _w
+    from lammps_plugins_tpu.fixes.velocity import velocity_create
+
+    def make():
+        state = rebomos_bulk()
+        state = velocity_create(state, units.METAL, 600.0, seed=77)
+        pair = REBOMoS.from_file(rebo_file, ["M", "S"])
+        return Engine(state, pair, [FixNVE()], units.METAL,
+                      device_rebuild=True, check_every=5, skin=0.4)
+
+    eng_h = make()
+    eng_h.fused_loop = False
+    eng_h.run(20)
+
+    eng_f = make()
+    eng_f.fused_loop = True
+
+    def boom(m, _retry=0):
+        raise RuntimeError("synthetic dispatch failure")
+
+    eng_f._run_span_device = boom
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        eng_f.run(20)
+    assert any("falling back" in str(w.message) for w in rec)
+    assert eng_f.fused_loop is False
+    assert int(eng_f.state.step) == 20
+    np.testing.assert_allclose(np.asarray(eng_f.state.x),
+                               np.asarray(eng_h.state.x),
+                               rtol=1e-13, atol=1e-13)
+
+
 def test_fused_loop_inloop_overflow_recovery(rebo_file):
     """An overflow inside the fused loop's in-loop rebuild must discard
     the whole span, re-size, and re-run it — ending on the same

@@ -41,6 +41,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import out_struct
+
 
 def derive_lj_constants(tables) -> dict:
     """Per-element-pair scalars for the switched LJ, as bilinear coeffs.
@@ -205,7 +207,7 @@ def _lj_cell_call(P, *, a_range, cell_mn, cell_size, consts_key,
         out_specs=pl.BlockSpec((1, 1, Az, R, C),
                                lambda i, j, q: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Ax, Ay, Az, R, C), P.dtype),
+        out_shape=out_struct((Ax, Ay, Az, R, C), P.dtype, P),
         cost_estimate=pl.CostEstimate(
             flops=pairs * 30, bytes_accessed=pairs // (C * C) * Dz * R * C * 8,
             transcendentals=pairs),

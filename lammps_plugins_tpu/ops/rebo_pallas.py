@@ -225,7 +225,8 @@ def _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT, *, consts_key, interpret):
     kernel = _make_kernel(consts, K, NB)
     blk = pl.BlockSpec((K, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
     blk8 = pl.BlockSpec((8, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((K, Np), dxT.dtype)
+    from .common import out_struct
+    shape = out_struct((K, Np), dxT.dtype, dxT)
     npair = Np * K * K
     return pl.pallas_call(
         kernel,

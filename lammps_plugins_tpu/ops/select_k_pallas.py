@@ -94,13 +94,14 @@ def select_k(keys: jnp.ndarray, k: int, interpret: bool = False,
     pay = [padr(p.astype(keys.dtype), 0.0) for p in payloads]
     blkW = pl.BlockSpec((NB, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
     blkK = pl.BlockSpec((NB, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    shapeK = jax.ShapeDtypeStruct((Np, k), keys.dtype)
+    from .common import out_struct
+    shapeK = out_struct((Np, k), keys.dtype, keys)
     out = pl.pallas_call(
         _make_kernel(k, NB, W, len(pay), keys.dtype),
         grid=(Np // NB,),
         in_specs=[blkW] * (1 + len(pay)),
         out_specs=(blkK,) + (blkK,) * len(pay),
-        out_shape=(jax.ShapeDtypeStruct((Np, k), jnp.int32),)
+        out_shape=(out_struct((Np, k), jnp.int32, keys),)
         + (shapeK,) * len(pay),
         scratch_shapes=[pltpu.VMEM((NB, W), keys.dtype)],
         cost_estimate=pl.CostEstimate(

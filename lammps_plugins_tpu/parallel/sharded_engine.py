@@ -111,6 +111,21 @@ def _sq(tree):
     return jax.tree_util.tree_map(lambda a: a[0], tree)
 
 
+def _smap_kwargs():
+    """Extra jax.shard_map kwargs for the engine's sharded programs.
+
+    Pallas interpret mode (LPT_PALLAS=interpret, the CPU-test escape
+    hatch) discharges kernels into plain jax ops whose internal grid
+    bookkeeping mixes axis-varying and unvarying values; JAX's vma
+    checker rejects that mix inside shard_map, so the escape hatch
+    relaxes it.  Production (compiled kernels, opaque to the checker)
+    keeps check_vma strict."""
+    import os
+    if os.environ.get("LPT_PALLAS") == "interpret":
+        return {"check_vma": False}
+    return {}
+
+
 def _pack(mask, cap, arrs):
     """Compact masked rows to the front of fixed-capacity arrays.
 
@@ -183,6 +198,8 @@ class ShardedEngine:
         self._ev_jit = None
         self.pair.prepare(np.asarray(state.type))
         self.thermo_rows: List[dict] = []
+        from ..run.timers import Timers
+        self.timers = Timers()
 
     # -- host-side setup ---------------------------------------------------
     def _setup_geometry(self, state: State):
@@ -430,7 +447,7 @@ class ShardedEngine:
         spec = P(AXIS)
         return jax.jit(jax.shard_map(
             local, mesh=self.mesh, in_specs=(spec,),
-            out_specs=(spec, spec, spec, P())))
+            out_specs=(spec, spec, spec, P()), **_smap_kwargs()))
 
     def resettle(self, _retry=0):
         """Wrap + migrate + rebuild halos and neighbor structures."""
@@ -580,7 +597,8 @@ class ShardedEngine:
         spec = P(AXIS)
         return jax.jit(jax.shard_map(
             local, mesh=self.mesh,
-            in_specs=(spec, spec, spec), out_specs=(spec, P())))
+            in_specs=(spec, spec, spec), out_specs=(spec, P()),
+            **_smap_kwargs()))
 
     def _build_forces_once(self):
         """Forces-only sharded evaluation (LAMMPS setup(): make state.f
@@ -613,7 +631,7 @@ class ShardedEngine:
         spec = P(AXIS)
         return jax.jit(jax.shard_map(
             local, mesh=self.mesh, in_specs=(spec, spec, spec),
-            out_specs=spec))
+            out_specs=spec, **_smap_kwargs()))
 
     def _setup_forces(self):
         if self.nbr is None:
@@ -673,7 +691,7 @@ class ShardedEngine:
         spec = P(AXIS)
         return jax.jit(jax.shard_map(
             local, mesh=self.mesh, in_specs=(spec, spec, spec),
-            out_specs=(P(), P(), P())))
+            out_specs=(P(), P(), P()), **_smap_kwargs()))
 
     def _build_pe(self):
         """Energy-only sharded evaluation (no strain grad — the virial
@@ -710,7 +728,7 @@ class ShardedEngine:
         spec = P(AXIS)
         return jax.jit(jax.shard_map(
             local, mesh=self.mesh, in_specs=(spec, spec, spec),
-            out_specs=P()))
+            out_specs=P(), **_smap_kwargs()))
 
     def potential_energy(self) -> float:
         """Global PE via psum of owned-masked per-shard energies."""
@@ -859,10 +877,12 @@ class ShardedEngine:
         State — the sharded analogue of LAMMPS ranks funnelling dump data
         to the writing proc."""
         self._setup_forces()
+        self.timers.start_run(self.natoms, chips=self.n_devices)
         rows = []
 
         def emit():
-            row = self.thermo()
+            with self.timers.section("Output"):
+                row = self.thermo()
             rows.append(row)
             if on_thermo:
                 on_thermo(row)
@@ -872,7 +892,8 @@ class ShardedEngine:
             for every, fn in callbacks:
                 if done % every == 0:
                     if st is None:
-                        st = self.to_state()
+                        with self.timers.section("Output"):
+                            st = self.to_state()
                     fn(st)
 
         done = 0
@@ -895,7 +916,8 @@ class ShardedEngine:
                 m = (span // self.check_every) * self.check_every
                 m = min(m, 16 * self.check_every)
                 try:
-                    self._run_span_device(m)
+                    with self.timers.section("Pair"):
+                        self._run_span_device(m)
                 except Exception as e:
                     import warnings
                     warnings.warn(f"fused sharded loop failed ({e!r}); "
@@ -910,23 +932,28 @@ class ShardedEngine:
 
             seg = min(self.check_every, span)
             start = self.shards
-            new_ss, maxd = self._segment(seg)
+            with self.timers.section("Pair"):
+                new_ss, maxd = self._segment(seg)
             if float(maxd) > half_skin_sq:
                 # redo the segment from the checkpoint with fresh lists
                 # (bitwise equivalent to per-step checking; list slack
                 # does not change physics)
                 self.shards = start
-                self.resettle()
-                new_ss, maxd = self._segment(seg)
+                with self.timers.section("Neigh"):
+                    self.resettle()
+                with self.timers.section("Pair"):
+                    new_ss, maxd = self._segment(seg)
                 self.shards = new_ss
                 if float(maxd) > half_skin_sq:
-                    self.resettle()
+                    with self.timers.section("Neigh"):
+                        self.resettle()
             else:
                 self.shards = new_ss
             done += seg
             if thermo_every and done % thermo_every == 0:
                 emit()
             fire_callbacks()
+        self.timers.end_run(nsteps)
         self.thermo_rows = rows
         return rows
 

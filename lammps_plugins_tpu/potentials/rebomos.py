@@ -334,24 +334,36 @@ class REBOMoS(PairStyle):
         el_own = self.typemap[types]
         el_all = self.typemap[ghosts.all_types(types)]
 
+        interp = self._pallas_interpret()
         if rebo.mirror is not None:
-            f = self._rebo_forces_mirror(x, el_own, el_all, ghosts, rebo, h)
+            f = self._rebo_forces_mirror(x, el_own, el_all, ghosts, rebo, h,
+                                         interpret=interp)
         else:
             f = -jax.grad(lambda x_: self._rebo_energy(
                 x_, None, el_own, el_all, ghosts, rebo, h))(x)
         if self._use_lj_pallas(x, nbr.cells):
-            return f + self._lj_forces_pallas(x, ghosts, nbr.cells, h)
+            return f + self._lj_forces_pallas(x, ghosts, nbr.cells, h,
+                                              interpret=interp)
         return f + self._lj_forces_cells(x, ghosts, nbr.cells, h)
 
     @staticmethod
     def _use_pallas(x) -> bool:
-        """Pallas hot path: TPU backend, f32 only (override LPT_PALLAS)."""
+        """Pallas hot path: TPU backend, f32 only (override LPT_PALLAS;
+        the value "interpret" additionally runs the kernels in Pallas
+        interpret mode — the CPU-testable escape hatch that lets the
+        suite exercise the production kernel dispatch, incl. inside
+        shard_map)."""
         import os
         flag = os.environ.get("LPT_PALLAS")
         if flag is not None:
             return flag not in ("0", "off")
         return (x.dtype == jnp.float32
                 and jax.default_backend() not in ("cpu",))
+
+    @staticmethod
+    def _pallas_interpret() -> bool:
+        import os
+        return os.environ.get("LPT_PALLAS") == "interpret"
 
     @classmethod
     def _use_lj_pallas(cls, x, cells) -> bool:

@@ -39,9 +39,10 @@ class Timers:
         finally:
             self.acc[name] = self.acc.get(name, 0.0) + time.perf_counter() - t0
 
-    def start_run(self, natoms: int):
+    def start_run(self, natoms: int, chips: int = 1):
         self._wall_start = time.perf_counter()
         self.natoms = natoms
+        self.chips = chips
 
     def end_run(self, nsteps: int):
         self.steps += nsteps
@@ -54,8 +55,10 @@ class Timers:
         steps_s = self.steps / wall
         atom_steps = steps_s * self.natoms
         ns_day = self.steps * dt * 1e-3 * 86400 / wall   # dt in ps
+        chips = getattr(self, "chips", 1)
         lines = [
-            f"Loop time of {wall:.6g} on 1 chip for {self.steps} steps "
+            f"Loop time of {wall:.6g} on {chips} chip"
+            f"{'s' if chips != 1 else ''} for {self.steps} steps "
             f"with {self.natoms} atoms",
             "",
             f"Performance: {ns_day:.3f} ns/day, {steps_s:.3f} timesteps/s, "

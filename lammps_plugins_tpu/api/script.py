@@ -35,6 +35,8 @@ from ..fixes.nvt import FixNVT
 from ..fixes.velocity import set_type_fraction, velocity_create
 from ..potentials.aeam import AEAM
 from ..potentials.rebomos import REBOMoS
+from ..potentials import ljcut as _ljcut   # noqa: F401  (registers lj/cut*)
+from ..potentials import none as _none     # noqa: F401  (registers none/zero)
 from ..run.simulation import Engine
 
 _NOOP_COMMANDS = {"dump_modify", "log", "echo",
@@ -199,6 +201,11 @@ class Script:
                                           vecs["a3"], basis, origin)
         elif style in ("fcc", "bcc", "sc"):
             a = float(args[1])
+            if self.units.name == "lj":
+                # LAMMPS lattice.cpp: in lj units the scale argument is the
+                # reduced density rho*; a = (basis_count / rho)^(1/3)
+                nbasis = {"fcc": 4, "bcc": 2, "sc": 1}[style]
+                a = (nbasis / a) ** (1.0 / 3.0)
             origin = (0.0, 0.0, 0.0)
             if "origin" in args:
                 k = args.index("origin")
@@ -333,11 +340,18 @@ class Script:
         return groups[gid]
 
     def cmd_pair_style(self, args):
-        self.pair_style_name = args[0]
-        if args[0] not in ("rebomos", "aeam", "none", "zero"):
+        from .. import registry
+        if args[0] not in registry.PAIR_STYLES:
             raise ScriptError(f"Unsupported pair style {args[0]}")
+        self.pair_style_name = args[0]
+        self.pair_style_args = list(args[1:])
+        if args[0] in ("lj/cut", "lj/cut/coul/cut"):
+            self.pair = None        # built at first pair_coeff (needs ntypes)
+            self.engine = None
 
     def cmd_pair_coeff(self, args):
+        if self.pair_style_name in ("lj/cut", "lj/cut/coul/cut"):
+            return self._ljcut_coeff(args)
         if args[0] != "*" or args[1] != "*":
             raise ScriptError("pair_coeff must be '* *' for these styles")
         path, elems = args[2], args[3:]
@@ -353,6 +367,39 @@ class Script:
             raise ScriptError("pair_coeff before pair_style")
         self.engine = None
 
+    def _ljcut_coeff(self, args):
+        """pair_coeff i j eps sigma [cut] for the numeric-coefficient
+        styles (i/j accept '*' wildcards, LAMMPS pair_lj_cut.cpp:coeff)."""
+        from ..potentials.ljcut import PairLJCut, PairLJCutCoulCut
+        if not self.ntypes:
+            raise ScriptError("pair_coeff before create_box")
+        if self.pair is None:
+            a = [float(v) for v in self.pair_style_args]
+            if not a:
+                raise ScriptError(
+                    f"pair_style {self.pair_style_name} needs a cutoff")
+            if self.pair_style_name == "lj/cut":
+                self.pair = PairLJCut(a[0], ntypes=self.ntypes,
+                                      dtype=self.dtype)
+            else:
+                self.pair = PairLJCutCoulCut(
+                    a[0], a[1] if len(a) > 1 else None,
+                    ntypes=self.ntypes, qqr2e=self.units.qqr2e,
+                    dtype=self.dtype)
+
+        def trange(tok):
+            if tok == "*":
+                return range(1, self.ntypes + 1)
+            return [int(tok)]
+
+        vals = [float(v) for v in args[2:]]
+        if len(vals) not in (2, 3):
+            raise ScriptError("pair_coeff i j eps sigma [cut]")
+        for i in trange(args[0]):
+            for j in trange(args[1]):
+                self.pair.set_coeff(i, j, *vals)
+        self.engine = None
+
     def cmd_neighbor(self, args):
         self.skin = float(args[0])
 
@@ -361,6 +408,16 @@ class Script:
                # displacement trigger (exact; see run/simulation.py)
 
     def cmd_set(self, args):
+        if len(args) >= 4 and args[2] == "charge" \
+                and args[0] in ("type", "group"):
+            # set type I charge Q / set group G charge Q — static per-atom
+            # charges (atom_style charge; consumed by fix bfield and the
+            # coulomb pair styles)
+            if not hasattr(self, "_charge_cmds"):
+                self._charge_cmds = []
+            self._charge_cmds.append((args[0], args[1], float(args[3])))
+            self.engine = None
+            return
         if args[0] == "region" and args[2] == "type/fraction":
             region = self.regions[args[1]]
             newtype, frac, seed = int(args[3]), float(args[4]), int(args[5])
@@ -630,8 +687,17 @@ class Script:
         mass = np.zeros(self.ntypes + 1)
         for t, m in self.masses.items():
             mass[t] = m
-        return State.create(x=self.positions, type=self.types, box=self.box,
-                            mass=mass, dtype=self.dtype)
+        st = State.create(x=self.positions, type=self.types, box=self.box,
+                          mass=mass, dtype=self.dtype)
+        for sel, ident, val in getattr(self, "_charge_cmds", []):
+            q = np.asarray(st.q).copy()
+            if sel == "type":
+                q[np.asarray(st.type) == int(ident)] = val
+            else:                                   # group
+                gmask = self._group_mask(ident)
+                q[... if gmask is None else np.asarray(gmask)] = val
+            st = st.replace(q=jnp.asarray(q, self.dtype))
+        return st
 
     def _make_engine(self) -> Engine:
         if self.pair is None:

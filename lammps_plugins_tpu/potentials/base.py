@@ -32,6 +32,13 @@ class PairStyle:
     """Base class: subclasses implement neighbor_requests() and energy()."""
 
     name: str = "none"
+    #: style reads per-atom charges (the engine then calls bind_charges
+    #: with state.q at setup — cf. LAMMPS atom->q consumers)
+    needs_charges: bool = False
+
+    def bind_charges(self, q) -> None:
+        """Receive the system's static per-atom charge array (no-op for
+        charge-free styles)."""
 
     def neighbor_requests(self) -> Mapping[str, np.ndarray]:
         """name -> cutoff (scalar or [T+1,T+1] per-type-pair matrix)."""

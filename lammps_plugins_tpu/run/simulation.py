@@ -87,6 +87,7 @@ class Engine:
         self.timers = Timers()
 
         pair.prepare(np.asarray(state.type))
+        pair.bind_charges(state.q)
         for fix in self.fixes:
             self.state = fix.setup(self.state, self.ctx)
 

@@ -1,15 +1,11 @@
-"""Benchmark: atom-steps/sec/chip on ~100k-atom MoS2 REBOMOS NVE (f32).
+"""BASELINE.json config 4: MoS2 monolayer at ~1M atoms, REBOMOS NVT.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "atom-steps/s", "vs_baseline": N}
+Stresses neighbor rebuild + padding at the million-atom single-chip scale
+(the vacuum slab has strongly anisotropic neighbor counts vs the bulk).
+Prints one JSON line like bench.py.
 
-vs_baseline is the ratio to the reference's published serial throughput of
-34.223 katom-step/s on the same potential (USER-REBOMOS/log.rebomos-bulk.1:59
-— its only performance number; BASELINE.md).
-
-Robustness: the tunneled TPU backend can take minutes on first contact, so
-everything host-side (scene, neighbor lists) is built before touching the
-device, and a watchdog prints a fallback line if the device wedges.
+Scale with BENCH_NX/BENCH_NY (defaults give 1,000,518 atoms — TPU only;
+use e.g. BENCH_NX=20 BENCH_NY=20 for a CPU smoke).
 """
 
 import json
@@ -18,9 +14,11 @@ import sys
 import threading
 import time
 
-RESULT = {"metric": "atom-steps/sec/chip (MoS2 REBOMOS NVE, ~99k atoms, f32)",
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+RESULT = {"metric": "atom-steps/sec/chip (MoS2 monolayer REBOMOS NVT, f32)",
           "value": 0.0, "unit": "atom-steps/s", "vs_baseline": 0.0}
-BASELINE = 34223.0          # log.rebomos-bulk.1:59, katom-step/s * 1000
+BASELINE = 34223.0          # log.rebomos-bulk.1:59
 _done = False
 
 
@@ -33,13 +31,9 @@ def _watchdog(seconds):
 
 def main():
     global _done
-    nx = int(os.environ.get("BENCH_NX", 34))
-    ny = int(os.environ.get("BENCH_NY", 48))
-    nz = int(os.environ.get("BENCH_NZ", 10))
-    steps = int(os.environ.get("BENCH_STEPS", 50))
-    # solid-phase default: thermal displacements saturate well under
-    # skin/2, so rebuilds stay rare and the smaller K (24 vs 32) and
-    # cell size cut the step ~13%
+    nx = int(os.environ.get("BENCH_NX", 577))
+    ny = int(os.environ.get("BENCH_NY", 578))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
     skin = float(os.environ.get("BENCH_SKIN", 1.0))
     reps = int(os.environ.get("BENCH_REPS", 3))
 
@@ -52,9 +46,6 @@ def main():
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
-    # persistent compilation cache: the heavy traces (device rebuild with
-    # its top_k, the fused segment) compile once per shape and are reused
-    # by every later bench invocation
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -62,50 +53,44 @@ def main():
     except Exception:
         pass
 
-    # the tunneled backend's first device->host pull can take minutes; pay
-    # it up front so it never lands inside a timed section
     t0 = time.time()
     np.asarray(jax.device_put(np.ones(8, np.float32)))
     print(f"# device warmup: {time.time()-t0:.1f}s", file=sys.stderr,
           flush=True)
 
-    from lammps_plugins_tpu.api.scenes import rebomos_bulk_commensurate
+    from lammps_plugins_tpu.api.scenes import rebomos_monolayer
     from lammps_plugins_tpu.core import units
-    from lammps_plugins_tpu.fixes.nve import FixNVE
+    from lammps_plugins_tpu.fixes.nvt import FixNVT
+    from lammps_plugins_tpu.fixes.velocity import velocity_create
     from lammps_plugins_tpu.potentials.rebomos import REBOMoS
     from lammps_plugins_tpu.run.simulation import Engine
 
     t0 = time.time()
-    state = rebomos_bulk_commensurate(nx=nx, ny=ny, nz=nz,
-                                      dtype=jnp.float32)
+    state = rebomos_monolayer(nx=nx, ny=ny, dtype=jnp.float32)
     pair = REBOMoS.from_file(
         "/root/reference/USER-REBOMOS/MoS.REBO.set5b", ["M", "S"],
         dtype=jnp.float32)
     natoms = state.natoms
-    RESULT["metric"] = (f"atom-steps/sec/chip (MoS2 REBOMOS NVE, "
+    RESULT["metric"] = (f"atom-steps/sec/chip (MoS2 monolayer REBOMOS NVT, "
                         f"{natoms} atoms, f32)")
     print(f"# scene: {natoms} atoms ({time.time()-t0:.1f}s)",
           file=sys.stderr, flush=True)
 
-    # thermal kick so the run exercises realistic neighbor churn
-    from lammps_plugins_tpu.fixes.velocity import velocity_create
     state = velocity_create(state, units.METAL, 300.0, seed=12345)
-
-    eng = Engine(state, pair, [FixNVE()], units.METAL,
-                 check_every=steps, skin=skin)
+    eng = Engine(state, pair, [FixNVT(300.0, 300.0, 0.1)], units.METAL,
+                 check_every=min(steps, 10), skin=skin)
     t0 = time.time()
     eng.rebuild_neighbors()
     print(f"# neighbor build: {time.time()-t0:.1f}s, "
           f"K={ {k: v.idx.shape[1] for k, v in eng.nbr.lists.items()} }, "
           f"ghosts={eng.nbr.ghosts.count}", file=sys.stderr, flush=True)
 
-    # warm the device + compile
     t0 = time.time()
     pe, _ = eng.evaluate()
     print(f"# compile+first eval: {time.time()-t0:.1f}s "
           f"PE/atom={float(pe)/natoms:.4f}", file=sys.stderr, flush=True)
     t0 = time.time()
-    eng.run(steps)                  # compile the fused segment
+    eng.run(steps)
     print(f"# first segment (compile): {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
 
@@ -119,11 +104,9 @@ def main():
         print(f"# {steps} steps in {dt:.3f}s -> {rate:.3e} atom-steps/s",
               file=sys.stderr, flush=True)
 
-    secs = dict(eng.timers.acc)
-    tot = sum(secs.values()) or 1.0
-    print("# timers: " + ", ".join(
-        f"{k}={v:.2f}s ({100*v/tot:.0f}%)" for k, v in secs.items()),
-        file=sys.stderr, flush=True)
+    pe, _ = eng.evaluate()
+    print(f"# final PE/atom={float(pe)/natoms:.4f}", file=sys.stderr,
+          flush=True)
     RESULT["value"] = round(best, 1)
     RESULT["vs_baseline"] = round(best / BASELINE, 2)
     _done = True
@@ -131,10 +114,6 @@ def main():
 
 
 if __name__ == "__main__":
-    # exit CLEANLY before any external timeout: a SIGKILLed TPU client
-    # wedges the tunneled device for ~10-20 min (see memory notes), while a
-    # clean exit leaves it healthy; combined with the persistent compile
-    # cache, repeated invocations make monotonic progress
-    wd = int(os.environ.get("BENCH_WATCHDOG", 1500))
+    wd = int(os.environ.get("BENCH_WATCHDOG", 2400))
     threading.Thread(target=_watchdog, args=(wd,), daemon=True).start()
     main()

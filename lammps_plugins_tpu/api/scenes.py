@@ -91,6 +91,49 @@ def rebomos_bulk_commensurate(nx: int = 34, ny: int = 48, nz: int = 10,
                         box=box, mass=mass, dtype=dtype)
 
 
+def rebomos_monolayer(nx: int = 34, ny: int = 48, vacuum: float = 20.0,
+                      dtype=jnp.float32):
+    """Single MoS2 layer in a vacuum slab — BASELINE.json config 4
+    ("MoS2 monolayer replicated to 1M atoms") at nx=577, ny=578
+    (1,000,518 atoms).
+
+    In-plane construction matches rebomos_bulk_commensurate (A = nx a1,
+    B = ny/2 a1 + ny a2 — defect-free tiling); the slab keeps one of the
+    2H cell's two layers (the z=1/4 Mo plane with its two S planes,
+    MOS2_BASIS rows 2,4,5) centered in `vacuum` of empty z.  The box stays
+    z-periodic: the vacuum exceeds the 11.4 A interaction cutoff
+    (pair_rebomos.cpp:257 cut3rebo) plus any reasonable skin, so periodic
+    z-images cannot interact and the physics is a true isolated monolayer.
+    """
+    if ny % 2:
+        raise ValueError("ny must be even (B = ny/2 a1 + ny a2)")
+    a1 = np.asarray(MOS2_A1)
+    a2 = np.asarray(MOS2_A2)
+    c_bulk = MOS2_A3[2]
+    basis = np.array([(0.0, 0.0, 0.25),                # Mo
+                      (1.0 / 3.0, 2.0 / 3.0, 0.137990996),   # S below
+                      (1.0 / 3.0, 2.0 / 3.0, 0.362008989)])  # S above
+    z = basis[:, 2] * c_bulk
+    thick = z.max() - z.min()
+    z = z - z.min() + 0.5 * vacuum
+    A = nx * a1
+    B = (ny // 2) * a1 + ny * a2
+    box = Box.triclinic(lx=A[0], ly=B[1], lz=thick + vacuum, xy=B[0],
+                        dtype=dtype)
+    ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    cells = np.stack([ii.ravel(), jj.ravel()], 1).astype(float)
+    frac2 = cells[:, None, :] + basis[None, :, :2]
+    xy = frac2.reshape(-1, 2) @ np.stack([a1[:2], a2[:2]])
+    pos = np.concatenate([xy, np.tile(z, len(cells))[:, None]], axis=1)
+    h = box.h_np()
+    f = pos @ np.linalg.inv(h)
+    pos = (f - np.floor(f)) @ h
+    types = np.tile(np.asarray((1, 2, 2), np.int32), len(cells))
+    mass = np.array([0.0, *MOS2_MASSES])
+    return State.create(x=jnp.asarray(pos, dtype=dtype), type=types,
+                        box=box, mass=mass, dtype=dtype)
+
+
 def rebomos_bulk(nx: int = 4, ny: int = 8, nz: int = 1, tilt_xy: float = -2.0,
                  dtype=jnp.float64):
     """The in.rebomos-bulk scene, optionally replicated.

@@ -274,3 +274,34 @@ def test_script_dsl_sharded_matches_single():
         assert abs(float(r4["temp"]) - float(r1["temp"])) < 1e-6
         assert abs(float(r4["press"]) - float(r1["press"])) < 1e-4
         assert abs(float(r4["cellgamma"]) - float(r1["cellgamma"])) < 1e-9
+
+
+def test_sharded_generic_pair_style_ljcut():
+    """The sharded engine is pair-style-generic: a plain lj/cut melt
+    (no cell kernels, no mirror tables, base-class for_sharded) shards
+    with static parity and trajectory parity vs single-device."""
+    from lammps_plugins_tpu.potentials.ljcut import PairLJCut
+
+    lat = Lattice.fcc(4.05)
+    box = Box.orthogonal([4.05 * 16, 4.05 * 6, 4.05 * 6])
+    pos, types = create_atoms_box(lat, box, [1, 1, 1, 1])
+    state = State.create(x=pos, type=types, box=box,
+                         mass=np.array([0.0, 27.0]))
+    pair = PairLJCut(6.0, ntypes=1)
+    pair.set_coeff(1, 1, 0.4, 2.6)
+    state = velocity_create(state, units.METAL, 600.0, seed=41)
+
+    eng = Engine(state, pair, [FixNVE()], units.METAL,
+                 device_rebuild=False, skin=1.0)
+    pe1, _ = eng.evaluate()
+    f1 = np.asarray(eng.state.f)
+    se = ShardedEngine(state, pair, [FixNVE()], units.METAL, n_devices=4,
+                       skin=1.0)
+    pe2 = se.potential_energy()
+    se._setup_forces()
+    f2 = np.asarray(se.to_state().f)
+    assert abs(pe2 - float(pe1)) < 1e-10 * max(1.0, abs(float(pe1)))
+    np.testing.assert_allclose(f2, f1, atol=1e-11)
+
+    _compare_trajectories(state, pair, [FixNVE()], [FixNVE()],
+                          nsteps=20, check_every=10, skin=1.0)

@@ -60,6 +60,7 @@ class Script:
         self.log = log
         self.n_devices = n_devices
         self.units = units_mod.METAL
+        self.atom_style = "atomic"
         self.dimension = 3
         self.boundary = (True, True, True)
         self.lattice: Optional[Lattice] = None
@@ -804,6 +805,29 @@ class Script:
             st = self.engine.state
         save_state(args[0], st)
         self.log(f"Wrote restart file {args[0]}")
+
+    def cmd_read_data(self, args):
+        """read_data <file> — LAMMPS data file (atomic/charge styles)."""
+        from .data import read_data
+        st = read_data(args[0], atom_style=self.atom_style,
+                       periodic=self.boundary, dtype=self.dtype)
+        self.box = st.box
+        self.ntypes = len(np.asarray(st.mass)) - 1
+        self.positions = np.asarray(st.x)
+        self.types = np.asarray(st.type)
+        for t, m in enumerate(np.asarray(st.mass)[1:], start=1):
+            if m > 0:
+                self.masses[t] = float(m)
+        self._restart_state = st
+        self.engine = None
+        self.log(f"Read data file {args[0]} ({st.natoms} atoms)")
+
+    def cmd_write_data(self, args):
+        """write_data <file> — current system as a LAMMPS data file."""
+        from .data import write_data
+        st = self.engine.state if self.engine is not None else self._state()
+        write_data(args[0], st, atom_style=self.atom_style)
+        self.log(f"Wrote data file {args[0]} ({st.natoms} atoms)")
 
     def cmd_read_restart(self, args):
         from ..run.checkpoint import load_state

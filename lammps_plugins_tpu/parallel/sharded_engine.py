@@ -96,10 +96,12 @@ class HaloTables:
     val_hr: jnp.ndarray       # [Pn, Bh]
     t_loc: jnp.ndarray        # [Pn, n_loc] types of the local block
     valid_loc: jnp.ndarray    # [Pn, n_loc]
+    q_loc: jnp.ndarray        # [Pn, n_loc] charges of the local block
+                              # (static between rebuilds, like types)
 
     def tree_flatten(self):
         return ((self.exp_r, self.exp_l, self.val_hl, self.val_hr,
-                 self.t_loc, self.valid_loc), None)
+                 self.t_loc, self.valid_loc, self.q_loc), None)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -200,6 +202,18 @@ class ShardedEngine:
         self.thermo_rows: List[dict] = []
         from ..run.timers import Timers
         self.timers = Timers()
+
+    def _pair_local(self, halo: HaloTables):
+        """Pair style bound to this shard's local charges.
+
+        Charge-consuming styles (needs_charges) get a per-trace view whose
+        charge array is the [owned | halo] local block — the sharded
+        analogue of Engine's one-time bind_charges(state.q).  The view is
+        created inside the traced local function, so the bound array is
+        the current trace's tracer (never cached across traces)."""
+        if self.pair.needs_charges:
+            return self.pair.with_charges(halo.q_loc)
+        return self.pair
 
     # -- host-side setup ---------------------------------------------------
     def _setup_geometry(self, state: State):
@@ -395,19 +409,21 @@ class ShardedEngine:
             exp_l_m = valid2 & (sl_loc <= m_frac * Pn)
             exp_r_m = valid2 & (sl_loc >= 1.0 - m_frac * Pn)
             slots = jnp.arange(n_cap, dtype=jnp.int32)
-            (er_idx, er_t), ncr, ov_hr = _pack(
-                exp_r_m, Bh, (slots, t2))
-            (el_idx, el_t), ncl, ov_hl = _pack(
-                exp_l_m, Bh, (slots, t2))
+            (er_idx, er_t, er_q), ncr, ov_hr = _pack(
+                exp_r_m, Bh, (slots, t2, q2))
+            (el_idx, el_t, el_q), ncl, ov_hl = _pack(
+                exp_l_m, Bh, (slots, t2, q2))
             val_er = jnp.arange(Bh) < ncr
             val_el = jnp.arange(Bh) < ncl
 
             # my halos = neighbors' exports
             val_hl = jax.lax.ppermute(val_er, AXIS, perm_r)
             t_hl = jax.lax.ppermute(er_t, AXIS, perm_r)
+            q_hl = jax.lax.ppermute(er_q, AXIS, perm_r)
             x_hl = jax.lax.ppermute(x2[er_idx], AXIS, perm_r)
             val_hr = jax.lax.ppermute(val_el, AXIS, perm_l)
             t_hr = jax.lax.ppermute(el_t, AXIS, perm_l)
+            q_hr = jax.lax.ppermute(el_q, AXIS, perm_l)
             x_hr = jax.lax.ppermute(x2[el_idx], AXIS, perm_l)
             sl_shift = jnp.where(d == 0, -1.0, 0.0).astype(self.dtype)
             sr_shift = jnp.where(d == Pn - 1, 1.0, 0.0).astype(self.dtype)
@@ -419,6 +435,9 @@ class ShardedEngine:
             x_loc = jnp.concatenate([x2, x_hl, x_hr], axis=0)
             t_loc = jnp.concatenate(
                 [t2, jnp.where(val_hl, t_hl, 1), jnp.where(val_hr, t_hr, 1)])
+            q_loc = jnp.concatenate(
+                [q2, jnp.where(val_hl, q_hl, 0.0),
+                 jnp.where(val_hr, q_hr, 0.0)])
             valid_loc = jnp.concatenate([valid2, val_hl, val_hr])
 
             lo_d = lo_shards[d]
@@ -440,7 +459,8 @@ class ShardedEngine:
                              tag=tag2, valid=valid2)
             halo = HaloTables(exp_r=er_idx, exp_l=el_idx,
                               val_hl=val_hl, val_hr=val_hr,
-                              t_loc=t_loc, valid_loc=valid_loc)
+                              t_loc=t_loc, valid_loc=valid_loc,
+                              q_loc=q_loc)
             exp = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)
             return exp(ss2), exp(halo), exp(nbr), flags
 
@@ -575,7 +595,7 @@ class ShardedEngine:
                 for f in self.fixes:
                     st = f.post_integrate(st, ctx)
                 x_loc = halo_positions(st.x, halo, d)
-                f_loc = self.pair.forces(x_loc, halo.t_loc, nbr, h_s)
+                f_loc = self._pair_local(halo).forces(x_loc, halo.t_loc, nbr, h_s)
                 st = st.replace(f=f_loc[:n_cap] * vmask)
                 for f in self.fixes:
                     st = f.post_force(st, ctx)
@@ -625,7 +645,7 @@ class ShardedEngine:
             x_hr = jnp.where(halo.val_hr[:, None],
                              x_hr + sr_shift * arow[None, :], park[None, :])
             x_loc = jnp.concatenate([ss.x, x_hl, x_hr], axis=0)
-            f_loc = self.pair.forces(x_loc, halo.t_loc, nbr, h_s)
+            f_loc = self._pair_local(halo).forces(x_loc, halo.t_loc, nbr, h_s)
             return (f_loc[:n_cap] * ss.valid[:, None])[None]
 
         spec = P(AXIS)
@@ -674,7 +694,7 @@ class ShardedEngine:
                 x_loc = jnp.concatenate([x, x_hl, x_hr], axis=0)
                 owned = jnp.concatenate(
                     [ss.valid, jnp.zeros(x_loc.shape[0] - n_cap, bool)])
-                e = self.pair.energy(x_loc, strain, halo.t_loc, nbr, h_s,
+                e = self._pair_local(halo).energy(x_loc, strain, halo.t_loc, nbr, h_s,
                                      center_mask=owned)
                 return jax.lax.psum(e, AXIS)
 
@@ -721,7 +741,7 @@ class ShardedEngine:
             x_loc = jnp.concatenate([ss.x, x_hl, x_hr], axis=0)
             owned = jnp.concatenate(
                 [ss.valid, jnp.zeros(x_loc.shape[0] - n_cap, bool)])
-            e = self.pair.energy(x_loc, None, halo.t_loc, nbr, h_s,
+            e = self._pair_local(halo).energy(x_loc, None, halo.t_loc, nbr, h_s,
                                  center_mask=owned)
             return jax.lax.psum(e, AXIS)
 

@@ -40,6 +40,12 @@ class PairStyle:
         """Receive the system's static per-atom charge array (no-op for
         charge-free styles)."""
 
+    def with_charges(self, q) -> "PairStyle":
+        """A view of this style bound to a (possibly traced) charge array
+        for the local row space — used by the sharded engine, which
+        supplies the per-shard [owned | halo] charges each trace."""
+        return self
+
     def neighbor_requests(self) -> Mapping[str, np.ndarray]:
         """name -> cutoff (scalar or [T+1,T+1] per-type-pair matrix)."""
         raise NotImplementedError

@@ -156,12 +156,16 @@ class PairLJCutCoulCut(PairLJCut):
     def bind_charges(self, q) -> None:
         self._q = jnp.asarray(q, self.dtype)
 
+    def with_charges(self, q) -> "PairLJCutCoulCut":
+        import copy
+        view = copy.copy(self)
+        view._q = q
+        return view
+
     def for_sharded(self) -> "PairStyle":
-        raise NotImplementedError(
-            "pair_style lj/cut/coul/cut is not supported under spatial "
-            "sharding yet: bound charges index the global atom rows, not "
-            "the per-shard [owned | halo] row space (needs a charge column "
-            "in the halo exchange)")
+        # drop any globally-bound charges: per-shard local charges arrive
+        # via with_charges (ShardedEngine._pair_local) each trace
+        return self.with_charges(None)
 
     def _interaction_cut(self) -> np.ndarray:
         return np.maximum(self._cut, self.cut_coul)

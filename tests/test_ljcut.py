@@ -178,7 +178,8 @@ def test_charged_melt_bfield_config2():
     assert np.isfinite(vec).all()
 
 
-def test_sharded_coul_raises_precise_error():
+def test_unbound_charges_raise():
     pair = PairLJCutCoulCut(3.0, ntypes=1, qqr2e=1.0)
-    with pytest.raises(NotImplementedError, match="spatial sharding"):
-        pair.for_sharded()
+    pair.set_coeff(1, 1, 0.1, 1.0)
+    with pytest.raises(ValueError, match="charge"):
+        _dimer(pair, 2.0)

@@ -305,3 +305,42 @@ def test_sharded_generic_pair_style_ljcut():
 
     _compare_trajectories(state, pair, [FixNVE()], [FixNVE()],
                           nsteps=20, check_every=10, skin=1.0)
+
+
+def test_sharded_charged_coulomb_melt():
+    """lj/cut/coul/cut under slabs: per-atom charges ride the halo
+    exchange (q_loc) and migration; static + trajectory parity vs
+    single-device (the charged analogue of the MPI-invariance oracle)."""
+    from lammps_plugins_tpu.potentials.ljcut import PairLJCutCoulCut
+
+    lat = Lattice.fcc(4.05)
+    box = Box.orthogonal([4.05 * 16, 4.05 * 6, 4.05 * 6])
+    pos, types = create_atoms_box(lat, box, [1, 2, 1, 2])
+    n = len(pos)
+    state = State.create(x=pos, type=types, box=box,
+                         mass=np.array([0.0, 23.0, 35.5]),
+                         q=np.where(np.asarray(types) == 1, 1.0, -1.0))
+    pair = PairLJCutCoulCut(6.0, 6.0, ntypes=2, qqr2e=units.METAL.qqr2e)
+    pair.set_coeff(1, 1, 0.4, 2.4)
+    pair.set_coeff(2, 2, 0.4, 3.0)
+    state = velocity_create(state, units.METAL, 300.0, seed=17)
+    pair.bind_charges(state.q)
+
+    eng = Engine(state, pair, [FixNVE()], units.METAL,
+                 device_rebuild=False, skin=1.0)
+    pe1, _ = eng.evaluate()
+    f1 = np.asarray(eng.state.f)
+    se = ShardedEngine(state, pair, [FixNVE()], units.METAL, n_devices=4,
+                       skin=1.0)
+    pe2 = se.potential_energy()
+    se._setup_forces()
+    st2 = se.to_state()
+    f2 = np.asarray(st2.f)
+    # charges survived the shard round-trip
+    np.testing.assert_allclose(np.sort(np.asarray(st2.q)),
+                               np.sort(np.asarray(state.q)))
+    assert abs(pe2 - float(pe1)) < 1e-10 * max(1.0, abs(float(pe1)))
+    np.testing.assert_allclose(f2, f1, atol=1e-11)
+
+    _compare_trajectories(state, pair, [FixNVE()], [FixNVE()],
+                          nsteps=20, check_every=10, skin=1.0)

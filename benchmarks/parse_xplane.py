@@ -2,7 +2,7 @@
 import sys, glob, collections
 from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-path = sorted(glob.glob("/tmp/jtrace/**/*.xplane.pb", recursive=True))[-1]
+path = sorted(glob.glob("/tmp/jtrace_rebuild/**/*.xplane.pb", recursive=True))[-1]
 xs = xplane_pb2.XSpace()
 xs.ParseFromString(open(path, "rb").read())
 

@@ -507,8 +507,13 @@ class REBOMoS(PairStyle):
         consts_key = tuple(sorted(self._rebo_consts.items()))
         gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
                                 consts_key=consts_key, interpret=interpret)
-        # mirror combine, same row-gather trick on [K*Np, 3] rows
         grows = jnp.stack([gx, gy, gz], axis=-1).reshape(K * Np, 3)
+        # mirror combine, same row-gather trick on [K*Np, 3] rows.
+        # (A split-table variant — chunking grows so each chunk could sit
+        # in VMEM — was probed and measured STRICTLY slower: the row-gather
+        # emitter runs at ~4.8 ns/row regardless of table size, locality,
+        # sortedness, alignment or dtype, so N clamp-passes cost ~N x.
+        # See benchmarks/probe_mirror5/6/7.py.)
         gmir = grows[mirT.reshape(-1)].reshape(K, Np, 3) * mirvT[..., None]
         fsum = jnp.sum(jnp.stack([gx, gy, gz], axis=-1), axis=0) \
             - jnp.sum(gmir, axis=0)                     # [Np, 3]

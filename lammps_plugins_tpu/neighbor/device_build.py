@@ -575,9 +575,31 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
             # 4x SLOWER end-to-end: gathers whose source is a 1-D column
             # ([M]) get flattened to {0:T(1024)} scalar-path fusions by
             # XLA (~35 ns/elem), while row gathers from [M, 3] with 2-D
-            # indices stay vectorized.  Keep row-major lists.
+            # indices stay vectorized.  Keep row-major lists — but ALSO
+            # emit the [K, Np] transposed tables the Pallas force path
+            # consumes: the step loop carries the neighbor data in its
+            # while-loop state, so per-step transposes cannot be hoisted
+            # by XLA (profiled ~14 ms/step of relayout copies at 98k
+            # atoms); transposing once per rebuild removes them.
+            tkw = {}
+            if name in plan.mirror_tiers and mirror is not None:
+                Np = -(-n // 128) * 128
+
+                def _padT(a, fill):
+                    return jnp.pad(jnp.swapaxes(a, 0, 1),
+                                   ((0, 0), (0, Np - n)),
+                                   constant_values=fill)
+
+                mir_ok = mask & (mirror >= 0)
+                mir_safe = jnp.maximum(mirror, 0)
+                tkw = dict(
+                    idxT=_padT(idx, 0), maskT=_padT(mask, False),
+                    jtypeT=_padT(jtype, 0),
+                    mirT=_padT(jnp.where(
+                        mir_ok, (mir_safe % K) * Np + mir_safe // K, 0), 0),
+                    mirvT=_padT(mir_ok, False))
             lists[name] = NeighborList(idx=idx, mask=mask, jtype=jtype,
-                                       mirror=mirror)
+                                       mirror=mirror, **tkw)
             kmax = jnp.max(kmax_s)
             flags[f"k_overflow:{name}"] = kmax > K
             flags[f"count:k:{name}"] = kmax

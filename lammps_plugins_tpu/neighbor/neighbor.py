@@ -87,24 +87,35 @@ class NeighborList:
     #: (owner(j), image-of-i) — the newton-pair bijection).  Lets force
     #: accumulation replace the per-edge scatter-add with a row gather.
     mirror: jnp.ndarray | None = None  # [N, K] int32
+    #: rebuild-time transposed tables for the [K, Np]-layout force path
+    #: (Np = N padded to 128 lanes).  The step loop carries the neighbor
+    #: data through its while-loop state, so XLA cannot hoist per-step
+    #: [N,K]→[K,Np] transposes out of the loop — 4 relayout copies of
+    #: ~10 MB each per STEP at 98k atoms (profiled ~25% of the step).
+    #: Computing them once per rebuild makes the step consume them as-is.
+    idxT: jnp.ndarray | None = None    # [K, Np] int32
+    maskT: jnp.ndarray | None = None   # [K, Np] bool
+    jtypeT: jnp.ndarray | None = None  # [K, Np] int32
+    mirT: jnp.ndarray | None = None    # [K, Np] int32, flat k'*Np + j
+    mirvT: jnp.ndarray | None = None   # [K, Np] bool
+
+    _OPT = ("jtype", "mirror", "idxT", "maskT", "jtypeT", "mirT", "mirvT")
 
     def tree_flatten(self):
         children = [self.idx, self.mask]
-        flags = (self.jtype is not None, self.mirror is not None)
-        if flags[0]:
-            children.append(self.jtype)
-        if flags[1]:
-            children.append(self.mirror)
+        flags = tuple(getattr(self, f) is not None for f in self._OPT)
+        for f, have in zip(self._OPT, flags):
+            if have:
+                children.append(getattr(self, f))
         return tuple(children), flags
 
     @classmethod
     def tree_unflatten(cls, flags, children):
-        has_jtype, has_mirror = flags[:2]
         it = iter(children)
-        idx, mask = next(it), next(it)
-        jtype = next(it) if has_jtype else None
-        mirror = next(it) if has_mirror else None
-        return cls(idx, mask, jtype, mirror)
+        kw = {"idx": next(it), "mask": next(it)}
+        for f, have in zip(cls._OPT, flags):
+            kw[f] = next(it) if have else None
+        return cls(**kw)
 
     @property
     def capacity(self) -> int:

@@ -476,33 +476,48 @@ class REBOMoS(PairStyle):
         Np = -(-N // 128) * 128
         dtype = x.dtype
 
-        def padT(a, fill=0):
-            return jnp.pad(jnp.swapaxes(a, 0, 1), ((0, 0), (0, Np - N)),
-                           constant_values=fill)
+        if rebo.idxT is not None:
+            # rebuild-time transposed tables: nothing list-derived is
+            # transposed (or re-laid-out) inside the step loop
+            idxT = rebo.idxT
+            mskT = rebo.maskT.astype(dtype)
+            jelT = jnp.zeros(rebo.jtypeT.shape, dtype)
+            for t in range(1, len(self.typemap_np)):
+                jelT = jnp.where(rebo.jtypeT == t,
+                                 dtype.type(self.typemap_np[t]), jelT)
+            mirT = rebo.mirT
+            mirvT = rebo.mirvT.astype(dtype)
+        else:
+            def padT(a, fill=0):
+                return jnp.pad(jnp.swapaxes(a, 0, 1),
+                               ((0, 0), (0, Np - N)), constant_values=fill)
 
-        idxT = padT(rebo.idx)                          # [K, Np]
-        mskT = padT(rebo.mask.astype(dtype))
-        jelT = padT(self._jel(rebo, el_all).astype(dtype))
+            idxT = padT(rebo.idx)                      # [K, Np]
+            mskT = padT(rebo.mask.astype(dtype))
+            jelT = padT(self._jel(rebo, el_all).astype(dtype))
+            # mirror slot (flat over [N,K] edges) -> flat over [K*Np]
+            mir = rebo.mirror
+            mir_ok = rebo.mask & (mir >= 0)
+            mir_safe = jnp.maximum(mir, 0)
+            mirT = padT(jnp.where(
+                mir_ok, (mir_safe % K) * Np + mir_safe // K, 0))
+            mirvT = padT(mir_ok.astype(dtype))
         eiT = jnp.pad(el_own.astype(dtype).reshape(1, N),
                       ((0, 7), (0, Np - N)))
-        # mirror slot (flat over the [N,K] edge set) -> flat over [K*Np]
-        mir = rebo.mirror
-        mir_ok = rebo.mask & (mir >= 0)
-        mir_safe = jnp.maximum(mir, 0)
-        mirT = padT(jnp.where(mir_ok, (mir_safe % K) * Np + mir_safe // K,
-                              0))
-        mirvT = padT(mir_ok.astype(dtype))
 
         # Displacements via ONE row gather in transposed edge order
         # ([M,3] source rows; per-component element gathers from 1-D
         # columns get flattened to a {0:T(1024)} scalar path by XLA —
-        # measured 22 ms each vs ~6 ms for the row form)
+        # measured 22 ms each vs ~6 ms for the row form).  The center
+        # positions enter as 2-D [3, Np] row slices: 1-D [Np] columns get
+        # a T(1024) layout whose broadcast against [K, Np] cost ~1.6 ms
+        # of relayout copy per component per step (profiled).
         x_all = ghosts.all_positions(x, h)
         rows = x_all[idxT.reshape(-1)].reshape(K, Np, 3)
-        xT = [jnp.pad(x[:, a], (0, Np - N)) for a in range(3)]
-        dxT = rows[..., 0] - xT[0][None, :]
-        dyT = rows[..., 1] - xT[1][None, :]
-        dzT = rows[..., 2] - xT[2][None, :]
+        xT = jnp.pad(jnp.swapaxes(x, 0, 1), ((0, 0), (0, Np - N)))
+        dxT = rows[..., 0] - xT[0:1, :]
+        dyT = rows[..., 1] - xT[1:2, :]
+        dzT = rows[..., 2] - xT[2:3, :]
 
         consts_key = tuple(sorted(self._rebo_consts.items()))
         gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,

@@ -209,8 +209,12 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         ghost_capacity=pad8(max(ghost_count, 8)),
         cand_dims=cand_dims, cand_size=cand_size,
         cand_capacity=pad8(max(cand_occupancy, 2)),
+        # K quantum 4, not 8: every [K, Np] per-edge gather is linear in K
+        # and the angular kernel quadratic, so one sublane-tile of slack
+        # (8) cost ~13% of the whole step at 98k atoms (kmax 18 -> 24 vs
+        # 20); Mosaic masks the ragged final sublane tile fine
         k_caps=tuple(sorted(
-            (k, max(8, -(-int(v) // 8) * 8) if k_final else pad8(v))
+            (k, max(8, -(-int(v) // 4) * 4) if k_final else pad8(v))
             for k, v in k_counts.items() if k not in cell_tiers)),
         cell_dims=cell_dims, cell_size=cell_size,
         # tight slack for the coarse cells: the Pallas LJ kernel's work

@@ -44,11 +44,11 @@ from .timers import Timers
 def _quantize_k(target: int) -> int:
     """Neighbor-list K capacity for a measured kmax `target`.
 
-    Multiples of 8 (the f32 sublane quantum — every per-edge tensor is
-    [K, Np] or [N, K]); the K^2 angular kernel makes each extra bucket
-    cost quadratically, so the quantum is kept as small as the hardware
-    layout allows.  Minimum 16 bounds retrace churn on tiny systems."""
-    return max(16, -(-target // 8) * 8)
+    Multiples of 4: the [K, Np] per-edge gathers are linear in K and the
+    K^2 angular kernel quadratic, so half a sublane tile of slack is
+    already ~7% of the step; Mosaic masks the ragged final sublane tile.
+    Minimum 16 bounds retrace churn on tiny systems."""
+    return max(16, -(-target // 4) * 4)
 
 
 class Engine:
@@ -76,6 +76,7 @@ class Engine:
         self._force_jit = None
         self._f_valid = False
         self._thermo_jit = None
+        self._disp_jit = None
         # on-device rebuild: the TPU-native path for large systems (host
         # rebuild is O(seconds) at 100k atoms; device is O(ms))
         if device_rebuild is None:
@@ -420,8 +421,14 @@ class Engine:
         if self.nbr is None:
             self.rebuild_neighbors()
         elif self.device_rebuild:
-            d = jax.jit(lambda a, b: jnp.max(jnp.sum((a - b) ** 2, -1)))(
-                self.state.x, self.nbr.x_build)
+            # the jit wrapper must be cached: a fresh jax.jit(lambda ...)
+            # per call re-traces every time (function identity keys the
+            # jit cache) — profiled at ~630 ms of host time per span,
+            # i.e. 40% of the whole 50-step wall at 98k atoms
+            if self._disp_jit is None:
+                self._disp_jit = jax.jit(
+                    lambda a, b: jnp.max(jnp.sum((a - b) ** 2, -1)))
+            d = self._disp_jit(self.state.x, self.nbr.x_build)
             if float(d) > (0.5 * self.skin) ** 2:
                 self.rebuild_neighbors()
         else:

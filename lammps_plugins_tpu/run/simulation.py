@@ -77,6 +77,12 @@ class Engine:
         self._f_valid = False
         self._thermo_jit = None
         self._disp_jit = None
+        # once any K overflow recovery has run, tighten with extra
+        # headroom: heating systems creep kmax upward, and a kmax+2
+        # cap re-overflows within a span or two — each cycle costing a
+        # discarded span plus two retraces (observed on the 863 K AEAM
+        # bench: two full bench reps eaten by resize churn)
+        self._k_headroom = 2
         # on-device rebuild: the TPU-native path for large systems (host
         # rebuild is O(seconds) at 100k atoms; device is O(ms))
         if device_rebuild is None:
@@ -193,6 +199,7 @@ class Engine:
             # cell occupancy before all ghosts fit), so convergence can
             # take a few rounds — each round's measurement is exact for the
             # capacities that DID fit
+            self._k_headroom = 10
             self._resize_plan(flags_np, grow=1.5 * (1.3 ** _retry))
             return self._rebuild_on_device(_retry + 1)
         if not getattr(self, "_plan_tightened", False):
@@ -209,19 +216,25 @@ class Engine:
                 # full retrace
                 self._resize_plan(flags_np, grow=1.3)
                 return self._rebuild_on_device(_retry)
-        else:
+        elif not getattr(self, "_recovering", False):
             # overflow recovery grows K by 1.5x from possibly-truncated
             # counts, which can leave the STEP paying 50%+ slack forever
             # (observed: cap 176 vs steady kmax 114 at 863 K = 1.54x on
             # every per-edge gather).  Re-tighten to the exact k_final
-            # target once the measured kmax sits >= 2 quantization buckets
-            # (32) below the cap; the hysteresis keeps heating systems
-            # from flip-flopping (each re-size is a retrace).
+            # target once the measured kmax sits >= 32 below the cap; the
+            # hysteresis keeps heating systems from flip-flopping (each
+            # re-size is a retrace).  SUPPRESSED while a span-overflow
+            # recovery is in flight (_recovering): the recovery grows the
+            # cap precisely because kmax outgrew it mid-span, and an
+            # instantaneous-kmax tighten here would undo that growth —
+            # observed as a never-converging resize/overflow tug-of-war
+            # on the 863 K AEAM bench (RuntimeError after 6 retries,
+            # host-loop fallback).
             caps = dict(self._plan.k_caps)
             slack_k = False
             for k, v in flags_np.items():
                 if k.startswith("count:k:"):
-                    target = _quantize_k(int(v) + 2)
+                    target = _quantize_k(int(v) + self._k_headroom)
                     if caps[k.split(":", 2)[2]] - target >= 32:
                         slack_k = True
             if slack_k:
@@ -251,7 +264,8 @@ class Engine:
             if not k.startswith("count:k:"):
                 continue
             m = int(v)
-            target = m + 2 if grow <= 1.3 else int(m * grow) + 2
+            hr = self._k_headroom
+            target = m + hr if grow <= 1.3 else int(m * grow) + hr
             k_counts[k.split(":", 2)[2]] = _quantize_k(target)
         cand_occ = (int(flags_np["count:candcell"])
                     if "count:candcell" in flags_np else None)
@@ -395,22 +409,29 @@ class Engine:
             # a truncated list stepped physics — discard the whole span,
             # re-size from the measured counts, and re-run it
             self.state, self.nbr = start_state, start_nbr
+            self._k_headroom = 10
             self._resize_plan(flags_np, grow=1.5 * (1.3 ** _retry))
             self._loop_jit = None
-            self.rebuild_neighbors()
-            return self._run_span_device(nsteps, _retry + 1)
+            self._recovering = True     # block re-tightening mid-recovery
+            try:
+                self.rebuild_neighbors()
+                return self._run_span_device(nsteps, _retry + 1)
+            finally:
+                self._recovering = False
         self.state, self.nbr = state, nbr
         self._f_valid = True
         self._x_build_np = None
         self._maxdisp_is_device = True
         self._pending_rebuild = pending    # device scalar; fetched lazily
-        if bool(flags_np.get("count:ghost", 0)):
+        if bool(flags_np.get("count:ghost", 0)) \
+                and not getattr(self, "_recovering", False):
             # at least one in-loop rebuild ran: apply the same K cap
-            # re-tightening policy as the host rebuild path
+            # re-tightening policy as the host rebuild path (skipped while
+            # a span-overflow recovery is in flight, same as above)
             caps = dict(self._plan.k_caps)
             for k, v in flags_np.items():
                 if k.startswith("count:k:") and int(v) > 0:
-                    target = _quantize_k(int(v) + 2)
+                    target = _quantize_k(int(v) + self._k_headroom)
                     if caps[k.split(":", 2)[2]] - target >= 32:
                         self._resize_plan(flags_np, grow=1.0)
                         self._loop_jit = None

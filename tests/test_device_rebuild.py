@@ -221,3 +221,47 @@ def test_fused_loop_inloop_overflow_recovery(rebo_file):
     np.testing.assert_allclose(np.asarray(eng_f.state.x),
                                np.asarray(eng_h.state.x),
                                rtol=1e-13, atol=1e-13)
+
+
+def test_k_overflow_recovery_widens_headroom(rebo_file):
+    """A K-cap overflow recovery must converge and permanently widen the
+    tighten headroom, so the re-tighten policy cannot pull the cap back
+    into the overflow zone (the 863 K AEAM tug-of-war: recovery grew the
+    cap, the instantaneous-kmax tighten shrank it to kmax+2, the next
+    span re-overflowed — RuntimeError after 6 retries, host fallback)."""
+    from lammps_plugins_tpu.fixes.velocity import velocity_create
+    from lammps_plugins_tpu.run.simulation import _quantize_k
+
+    def make():
+        state = rebomos_bulk()
+        state = velocity_create(state, units.METAL, 600.0, seed=7)
+        pair = REBOMoS.from_file(rebo_file, ["M", "S"])
+        return Engine(state, pair, [FixNVE()], units.METAL,
+                      device_rebuild=True, check_every=5, skin=0.4)
+
+    eng_h = make()
+    eng_h.fused_loop = False
+    eng_h.run(20)
+
+    eng_f = make()
+    eng_f.fused_loop = True
+    eng_f.rebuild_neighbors()
+    good = eng_f._plan
+    kmax = int(np.max(np.sum(np.asarray(eng_f.nbr.lists["rebo"].mask), 1)))
+    # sabotage the rebo K cap below the true kmax and rebuild: the
+    # overflow-recovery path must converge (and widen the headroom)
+    bad_caps = tuple((n, 8 if n == "rebo" else k) for n, k in good.k_caps)
+    eng_f._plan = dataclasses.replace(good, k_caps=bad_caps)
+    eng_f._loop_jit = None
+    eng_f.rebuild_neighbors()
+
+    assert dict(eng_f._plan.k_caps)["rebo"] >= kmax
+    assert eng_f._k_headroom == 10          # recovery widened it
+
+    # spans after recovery run fine and never re-tighten into overflow
+    eng_f.run(20)
+    assert int(eng_f.state.step) == 20
+    assert dict(eng_f._plan.k_caps)["rebo"] >= _quantize_k(kmax)
+    np.testing.assert_allclose(np.asarray(eng_f.state.x),
+                               np.asarray(eng_h.state.x),
+                               rtol=1e-13, atol=1e-13)

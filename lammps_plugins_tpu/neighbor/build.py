@@ -53,17 +53,28 @@ class CellData:
     a_range: "tuple | None" = None
     cell_mn: "tuple | None" = None
     cell_size: "float | None" = None
+    #: [n_owned] int32: each owned atom's flat (cell, slot) index into the
+    #: a_range-restricted [Ax*Ay*Az*C] grid — lets the force remap be a
+    #: row GATHER (F3_flat[aslot]) instead of a scatter-set (measured
+    #: 2.1 ms/step scatter vs ~0.2 ms gather at 98k atoms)
+    aslot: "jnp.ndarray | None" = None
 
     def tree_flatten(self):
-        return ((self.table, self.jtype, self.nbr_map),
-                (self.n_owned, self.dims, self.a_range, self.cell_mn,
-                 self.cell_size))
+        children = [self.table, self.jtype, self.nbr_map]
+        have = self.aslot is not None
+        if have:
+            children.append(self.aslot)
+        return tuple(children), (self.n_owned, self.dims, self.a_range,
+                                 self.cell_mn, self.cell_size, have)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        n_owned, dims, a_range, cell_mn, cell_size = aux
-        return cls(*children, n_owned=n_owned, dims=dims, a_range=a_range,
-                   cell_mn=cell_mn, cell_size=cell_size)
+        n_owned, dims, a_range, cell_mn, cell_size, have = aux
+        table, jtype, nbr_map = children[:3]
+        aslot = children[3] if have else None
+        return cls(table, jtype, nbr_map, n_owned=n_owned, dims=dims,
+                   a_range=a_range, cell_mn=cell_mn, cell_size=cell_size,
+                   aslot=aslot)
 
 
 @jax.tree_util.register_pytree_node_class

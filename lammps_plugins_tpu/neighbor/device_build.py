@@ -627,10 +627,26 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
         nbid = _nbr_cell_ids(plan.cell_dims, offs14)
         cell_jt = jnp.where(dense_c < m_all, t_pad[dense_c],
                             0).astype(jnp.int32)
+        # inverse table: owned atom -> flat slot in the a_range force grid
+        # (one rebuild-time scatter so the per-step force remap is a
+        # row gather; ghost/pad ids drop)
+        Dx, Dy, Dz = plan.cell_dims
+        (ax0, ax1), (ay0, ay1), (az0, az1) = plan.a_range
+        Ay, Az = ay1 - ay0, az1 - az0
+        ncell3 = Dx * Dy * Dz
+        io = jnp.arange(ncell3 * C, dtype=jnp.int32)
+        cellid, slot = io // C, io % C
+        cx = cellid // (Dy * Dz)
+        rem = cellid % (Dy * Dz)
+        cy, cz = rem // Dz, rem % Dz
+        aidx = (((cx - ax0) * Ay + (cy - ay0)) * Az + (cz - az0)) * C + slot
+        aslot = jnp.zeros((n,), jnp.int32).at[
+            dense_c[:ncell3].reshape(-1)].set(aidx, mode="drop")
         cells = CellData(table=dense_c, jtype=cell_jt,
                          nbr_map=jnp.asarray(nbid), n_owned=n,
                          dims=plan.cell_dims, a_range=plan.a_range,
-                         cell_mn=plan.cell_mn, cell_size=plan.cell_size)
+                         cell_mn=plan.cell_mn, cell_size=plan.cell_size,
+                         aslot=aslot)
     else:
         flags["cell_overflow"] = jnp.zeros((), bool)
         flags["count:cell"] = jnp.zeros((), jnp.int32)

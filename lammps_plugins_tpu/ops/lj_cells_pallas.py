@@ -216,6 +216,168 @@ def _lj_cell_call(P, *, a_range, cell_mn, cell_size, consts_key,
     return out
 
 
+def _make_half_kernel(consts: dict, t_range, Dz: int, dzs, self_call: bool):
+    """Newton-half variant: one unordered cell pair per block.
+
+    Per program (one A pencil vs one B pencil at a fixed (dx, dy) column
+    offset), every evaluated [C, C] pair block contributes BOTH the A-side
+    row forces (reduce over sublanes) and the negated B-side forces
+    (reduce over lanes, accumulated in transposed [C, 8] layout so the
+    lane reduction lands on sublanes with no in-kernel transpose).  The
+    self-column call handles dz in {0, +1}: the dz=0 in-cell block is
+    evaluated A-side-complete (both directed slots present), so it takes
+    no B write; dz=-1 pairs are covered by the cell below's dz=+1.
+
+    Out-of-range zb (clamped) duplicates only ever land in halo cells
+    whose force rows are discarded by the atom remap, because the A range
+    is extended exactly one halo ring on the sides a legitimate pair
+    could straddle (see lj_cell_forces_half).
+    """
+    t0, t1 = t_range
+
+    def kernel(a_ref, b_ref, fa_ref, fb_ref):
+        fa_ref[...] = jnp.zeros_like(fa_ref)
+        fb_ref[...] = jnp.zeros_like(fb_ref)
+        elT = jnp.swapaxes(b_ref[0, 0, :, 3, :], 0, 1)   # [C, Dz]
+
+        for t in range(t0, t1):
+            a = a_ref[0, 0, t]                           # [8, C]
+            ax, ay, az = a[0:1], a[1:2], a[2:3]
+            ael = a[3:4]
+            zero = jnp.zeros_like(ax)
+            row = {k: _bilinear_row(consts[k], ael) for k in consts}
+            facc = jnp.zeros_like(a)
+            for dz in dzs:
+                zb = min(max(t + dz, 0), Dz - 1)
+                b = b_ref[0, 0, zb]
+                dxm = ax - jnp.swapaxes(b[0:1], 0, 1)
+                dym = ay - jnp.swapaxes(b[1:2], 0, 1)
+                dzm = az - jnp.swapaxes(b[2:3], 0, 1)
+                rsq = dxm * dxm + dym * dym + dzm * dzm
+                ebc = elT[:, zb:zb + 1]                  # [C, 1]
+
+                def cst(name):
+                    pa, pbc = row[name]
+                    return pa + pbc * ebc                # [C, C]
+
+                rinv = jax.lax.rsqrt(rsq)
+                r = rsq * rinv
+                r2inv = rinv * rinv
+                r6inv = r2inv * r2inv * r2inv
+                f126 = (cst("lj1") * r6inv - cst("lj2")) * r6inv * r2inv
+                drp = r - cst("ljmin")
+                framp = drp * (cst("k3") * drp + cst("k2")) * rinv
+                fp = jnp.where(rsq >= cst("s95sq"), f126, framp)
+                outside = (rsq > cst("ljmaxsq")) | (rsq < cst("ljminsq"))
+                fp = jnp.where(outside, jnp.zeros_like(fp), fp)
+
+                fxp = fp * dxm
+                fyp = fp * dym
+                fzp = fp * dzm
+                fxr = jnp.sum(fxp, axis=0, keepdims=True)
+                fyr = jnp.sum(fyp, axis=0, keepdims=True)
+                fzr = jnp.sum(fzp, axis=0, keepdims=True)
+                facc = facc + jnp.concatenate(
+                    [fxr, fyr, fzr, zero, zero, zero, zero, zero], axis=0)
+                if not (self_call and dz == 0):
+                    # B-side: F_b -= sum_a fp * (x_a - x_b), lane reduce
+                    fb_ref[0, 0, zb, :, 0:1] = fb_ref[0, 0, zb, :, 0:1] \
+                        - jnp.sum(fxp, axis=1, keepdims=True)
+                    fb_ref[0, 0, zb, :, 1:2] = fb_ref[0, 0, zb, :, 1:2] \
+                        - jnp.sum(fyp, axis=1, keepdims=True)
+                    fb_ref[0, 0, zb, :, 2:3] = fb_ref[0, 0, zb, :, 2:3] \
+                        - jnp.sum(fzp, axis=1, keepdims=True)
+            upd = fa_ref[0, 0, t, 0:3] + facc[0:3]
+            fa_ref[0, 0, t, 0:3] = upd
+
+    return kernel
+
+
+#: lexicographically-positive (dx, dy) column offsets: with the self
+#: column they cover every unordered 9-neighborhood column pair once.
+_HALF_OFFSETS = ((0, 0), (1, 0), (0, 1), (1, 1), (1, -1))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "a_range", "consts_key", "interpret"))
+def _lj_half_call(P, *, a_range, consts_key, interpret):
+    consts = dict(consts_key)
+    Dx, Dy, Dz, R, C = P.shape
+    (x0, x1), (y0, y1), (z0, z1) = a_range
+    fa_total = None
+    fb_total = None
+    for (dx, dy) in _HALF_OFFSETS:
+        self_call = (dx, dy) == (0, 0)
+        # A-range extension: one halo ring on each side a legit
+        # owned-involving pair could straddle for this offset
+        ax0 = x0 - (1 if dx > 0 else 0)
+        ay0 = y0 - (1 if dy > 0 else 0)
+        ay1 = y1 + (1 if dy < 0 else 0)
+        if self_call:
+            t_range, dzs = (z0 - 1, z1), (0, 1)
+        else:
+            t_range, dzs = (z0 - 1, z1 + 1), (-1, 0, 1)
+        AxE, AyE = x1 - ax0, ay1 - ay0
+        kernel = _make_half_kernel(consts, t_range, Dz, dzs, self_call)
+        blk = (1, 1, Dz, R, C)
+        fa, fb = pl.pallas_call(
+            kernel,
+            grid=(AxE, AyE),
+            in_specs=[
+                pl.BlockSpec(blk, lambda i, j: (ax0 + i, ay0 + j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(blk,
+                             lambda i, j, dx=dx, dy=dy:
+                             (ax0 + i + dx, ay0 + j + dy, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, Dz, R, C), lambda i, j: (i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Dz, C, 8), lambda i, j: (i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(out_struct((AxE, AyE, Dz, R, C), P.dtype, P),
+                       out_struct((AxE, AyE, Dz, C, 8), P.dtype, P)),
+            cost_estimate=pl.CostEstimate(
+                flops=AxE * AyE * Dz * len(dzs) * C * C * 33,
+                bytes_accessed=AxE * AyE * Dz * R * C * 16,
+                transcendentals=AxE * AyE * Dz * len(dzs) * C * C),
+            interpret=interpret,
+        )(P, P)
+        # place compact per-call grids into full-grid accumulators
+        if fa_total is None:
+            fa_total = jnp.zeros((Dx, Dy, Dz, R, C), P.dtype)
+            fb_total = jnp.zeros((Dx, Dy, Dz, C, 8), P.dtype)
+        fa_total = fa_total.at[ax0:ax0 + AxE, ay0:ay0 + AyE].add(fa)
+        fb_total = fb_total.at[ax0 + dx:ax0 + dx + AxE,
+                               ay0 + dy:ay0 + dy + AyE].add(fb)
+    # combined per-slot forces on the owned range, [Ax, Ay, Az, C, 3]
+    FA = fa_total[x0:x1, y0:y1, z0:z1]
+    FB = fb_total[x0:x1, y0:y1, z0:z1]
+    return FA[..., 0:3, :].transpose(0, 1, 2, 4, 3) + FB[..., :, 0:3]
+
+
+def lj_cell_forces_half(P: jnp.ndarray, consts: dict,
+                        a_range: Tuple[Tuple[int, int], ...],
+                        interpret: bool = False):
+    """Newton-half cell-pair LJ forces.
+
+    Same physics and inputs as lj_cell_forces, but every unordered cell
+    pair is evaluated once (5 calls over the half-offset column set)
+    instead of every ordered pair from the A side (27 offsets) — the TPU
+    answer to the reference's newton-on pair halving
+    (pair_rebomos.cpp:394-402), with the reverse-force scatter replaced
+    by in-kernel transposed-layout accumulation.
+
+    Returns [Ax, Ay, Az, C, 3] per-slot forces over the a_range cells
+    (already combined A-side + B-side, ready for the atom remap).
+    """
+    consts_key = tuple(sorted(consts.items()))
+    return _lj_half_call(P, a_range=tuple(a_range), consts_key=consts_key,
+                         interpret=interpret)
+
+
 def lj_cell_forces(P: jnp.ndarray, consts: dict,
                    a_range: Tuple[Tuple[int, int], ...],
                    cell_mn: Tuple[float, float, float], cell_size: float,

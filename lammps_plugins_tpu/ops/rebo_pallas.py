@@ -73,11 +73,11 @@ def derive_rebo_constants(tables) -> dict:
     return out
 
 
-def _make_kernel(consts: dict, K: int, NB: int):
+def _make_kernel(consts: dict, K: int, NB: int, emit_rows: bool = False):
     pi = float(np.pi)
 
     def kernel(dx_ref, dy_ref, dz_ref, jel_ref, msk_ref, ei_ref,
-               gx_ref, gy_ref, gz_ref):
+               gx_ref, gy_ref, gz_ref, *rows_ref):
         dtype = dx_ref.dtype
         dx = dx_ref[...]                    # [K, NB]
         dy = dy_ref[...]
@@ -210,30 +210,49 @@ def _make_kernel(consts: dict, K: int, NB: int):
         cz = jnp.sum(Mr * dzk, axis=1)
         # S2 uses cos = dots/(r_m r_k); d(cos)/dd_m self-term has 1/r_m^2
         coef = C1 * rinv - S2 * rinv * rinv
-        gx_ref[...] = coef * dx + cx
-        gy_ref[...] = coef * dy + cy
-        gz_ref[...] = coef * dz + cz
+        Gx = coef * dx + cx
+        Gy = coef * dy + cy
+        Gz = coef * dz + cz
+        gx_ref[...] = Gx
+        gy_ref[...] = Gy
+        gz_ref[...] = Gz
+        if emit_rows:
+            # interleaved [K, NB, 4] edge-cotangent ROWS: the minor-dim-4
+            # layout makes the downstream mirror combine ONE row gather
+            # (the fast per-index class) instead of three element gathers
+            # over component planes
+            rows_ref[0][:, :, 0] = Gx
+            rows_ref[0][:, :, 1] = Gy
+            rows_ref[0][:, :, 2] = Gz
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("consts_key", "interpret"))
-def _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT, *, consts_key, interpret):
+@functools.partial(jax.jit, static_argnames=("consts_key", "interpret",
+                                             "emit_rows"))
+def _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT, *, consts_key, interpret,
+               emit_rows=False):
     consts = dict(consts_key)
     K, Np = dxT.shape
     NB = 128
-    kernel = _make_kernel(consts, K, NB)
+    kernel = _make_kernel(consts, K, NB, emit_rows)
     blk = pl.BlockSpec((K, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
     blk8 = pl.BlockSpec((8, NB), lambda i: (0, i), memory_space=pltpu.VMEM)
     from .common import out_struct
     shape = out_struct((K, Np), dxT.dtype, dxT)
+    out_specs = [blk, blk, blk]
+    out_shape = [shape, shape, shape]
+    if emit_rows:
+        out_specs.append(pl.BlockSpec((K, NB, 4), lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(out_struct((K, Np, 4), dxT.dtype, dxT))
     npair = Np * K * K
     return pl.pallas_call(
         kernel,
         grid=(Np // NB,),
         in_specs=[blk, blk, blk, blk, blk, blk8],
-        out_specs=(blk, blk, blk),
-        out_shape=(shape, shape, shape),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(flops=npair * 70,
                                       bytes_accessed=Np * K * 6 * 4,
                                       transcendentals=npair * 2),

@@ -392,21 +392,34 @@ class REBOMoS(PairStyle):
         return P.reshape(Dx, Dy, Dz, 8, C), table
 
     def _lj_forces_pallas(self, x, ghosts, cells, h, interpret=False):
-        """Fused Pallas cell-pair LJ sweep (ops/lj_cells_pallas.py): full
-        27-offset A-side enumeration, so owned forces are complete with no
-        scatter; only the cell-table -> atom remap (one row scatter-set,
-        each owned atom in exactly one slot) runs outside the kernel."""
+        """Fused Pallas cell-pair LJ sweep (ops/lj_cells_pallas.py).
+
+        Default: full 27-offset A-side enumeration — every ordered pair
+        evaluated from the A side, so each program writes ONE resident
+        output pencil (the Newton-half kernel set, LPT_LJ_HALF=1, halves
+        the pair arithmetic but was measured SLOWER end-to-end: its
+        B-side pencils multiply output DMA ~13x, 46.6 vs 36.3 ms/step at
+        98k atoms).  Only the cell-table -> atom remap runs outside the
+        kernel — a row gather via the rebuild-time inverse slot table."""
+        import os
         from ..ops import lj_cells_pallas as ljp
         n = x.shape[0]
         P, table = self._cell_planes(x, ghosts, cells, h)
         Dx, Dy, Dz = cells.dims
         C = table.shape[1]
-        F = ljp.lj_cell_forces(P, self._lj_consts, cells.a_range,
-                               cells.cell_mn, cells.cell_size,
-                               interpret=interpret)
         (x0, x1), (y0, y1), (z0, z1) = cells.a_range
+        if os.environ.get("LPT_LJ_HALF"):
+            F3 = ljp.lj_cell_forces_half(P, self._lj_consts, cells.a_range,
+                                         interpret=interpret)
+        else:
+            F = ljp.lj_cell_forces(P, self._lj_consts, cells.a_range,
+                                   cells.cell_mn, cells.cell_size,
+                                   interpret=interpret)
+            F3 = F[..., 0:3, :].transpose(0, 1, 2, 4, 3)     # [...,C,3]
+        if cells.aslot is not None:
+            # rebuild-time inverse slot table: remap is a row gather
+            return F3.reshape(-1, 3)[cells.aslot]
         ids = table.reshape(Dx, Dy, Dz, C)[x0:x1, y0:y1, z0:z1]
-        F3 = F[..., 0:3, :].transpose(0, 1, 2, 4, 3)     # [...,C,3]
         return jnp.zeros((n, 3), x.dtype).at[ids.reshape(-1)].set(
             F3.reshape(-1, 3), mode="drop")
 
@@ -519,17 +532,27 @@ class REBOMoS(PairStyle):
         dyT = rows[..., 1] - xT[1:2, :]
         dzT = rows[..., 2] - xT[2:3, :]
 
+        import os
         consts_key = tuple(sorted(self._rebo_consts.items()))
-        gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
-                                consts_key=consts_key, interpret=interpret)
-        grows = jnp.stack([gx, gy, gz], axis=-1).reshape(K * Np, 3)
-        # mirror combine, same row-gather trick on [K*Np, 3] rows.
-        # (A split-table variant — chunking grows so each chunk could sit
-        # in VMEM — was probed and measured STRICTLY slower: the row-gather
-        # emitter runs at ~4.8 ns/row regardless of table size, locality,
-        # sortedness, alignment or dtype, so N clamp-passes cost ~N x.
-        # See benchmarks/probe_mirror5/6/7.py.)
-        gmir = grows[mirT.reshape(-1)].reshape(K, Np, 3) * mirvT[..., None]
+        if os.environ.get("LPT_MIR_ROWS"):
+            # kernel emits interleaved [K, Np, 4] cotangent rows: the
+            # mirror combine becomes ONE 4-wide row gather (fast
+            # per-index class) instead of three element gathers over
+            # component planes (profiled 10.1 ms vs 2.6 ms for the same
+            # index count at 98k atoms)
+            gx, gy, gz, g4 = _rebo_call(
+                dxT, dyT, dzT, jelT, mskT, eiT, consts_key=consts_key,
+                interpret=interpret, emit_rows=True)
+            grows = g4.reshape(K * Np, 4)
+            gmir = grows[mirT.reshape(-1)].reshape(K, Np, 4)[..., 0:3] \
+                * mirvT[..., None]
+        else:
+            gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
+                                    consts_key=consts_key,
+                                    interpret=interpret)
+            grows = jnp.stack([gx, gy, gz], axis=-1).reshape(K * Np, 3)
+            gmir = grows[mirT.reshape(-1)].reshape(K, Np, 3) \
+                * mirvT[..., None]
         fsum = jnp.sum(jnp.stack([gx, gy, gz], axis=-1), axis=0) \
             - jnp.sum(gmir, axis=0)                     # [Np, 3]
         return fsum[:N]

@@ -102,3 +102,37 @@ def test_rebo_cotangents_match_autodiff(cells_setup):
     scale = np.abs(f_ad).max()
     assert scale > 1e-3
     np.testing.assert_allclose(f_pl, f_ad, atol=5e-4 * scale, rtol=5e-4)
+
+
+def test_half_kernel_matches_full(cells_setup):
+    """Newton-half kernel set vs the full 27-offset kernel (interpret)."""
+    from lammps_plugins_tpu.ops import lj_cells_pallas as ljp
+    eng = cells_setup
+    pair, st, nbr = eng.pair, eng.state, eng.nbr
+    cells = nbr.cells
+    P, table = pair._cell_planes(st.x, nbr.ghosts, cells, st.box.h)
+    F = ljp.lj_cell_forces(P, pair._lj_consts, cells.a_range,
+                           cells.cell_mn, cells.cell_size, interpret=True)
+    F3_full = np.asarray(F[..., 0:3, :].transpose(0, 1, 2, 4, 3))
+    F3_half = np.asarray(ljp.lj_cell_forces_half(
+        P, pair._lj_consts, cells.a_range, interpret=True))
+    scale = np.abs(F3_full).max()
+    assert scale > 1e-4
+    np.testing.assert_allclose(F3_half, F3_full, atol=3e-4 * scale,
+                               rtol=3e-4)
+
+
+def test_mirror_rows_path_matches(cells_setup, monkeypatch):
+    """LPT_MIR_ROWS (kernel-emitted [K,Np,4] cotangent rows) vs default."""
+    eng = cells_setup
+    pair, st, nbr = eng.pair, eng.state, eng.nbr
+    h = st.box.h
+    ghosts, rebo = nbr.ghosts, nbr.lists["rebo"]
+    el_own = pair.typemap[st.type]
+    el_all = pair.typemap[ghosts.all_types(st.type)]
+    f_def = np.asarray(pair._rebo_forces_mirror_tn(
+        st.x, el_own, el_all, ghosts, rebo, h, interpret=True))
+    monkeypatch.setenv("LPT_MIR_ROWS", "1")
+    f_rows = np.asarray(pair._rebo_forces_mirror_tn(
+        st.x, el_own, el_all, ghosts, rebo, h, interpret=True))
+    np.testing.assert_allclose(f_rows, f_def, atol=1e-6, rtol=1e-6)

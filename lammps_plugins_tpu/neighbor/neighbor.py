@@ -169,13 +169,23 @@ def mirror_combine(gx, gy, gz, nlist: NeighborList):
     bijection: F_i = sum_k G[i,k] - sum_k G[mirror(i,k)] — the scatter-free
     TPU replacement for newton-pair reverse accumulation
     (pair_aeam.cpp:257).  Requires nlist.mirror (device rebuild)."""
-    gflat = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-    gmir = gflat[jnp.maximum(nlist.mirror, 0)]
-    gmir = jnp.where((nlist.mask & (nlist.mirror >= 0))[..., None],
-                     gmir, 0.0)
-    fc = jnp.stack([jnp.sum(gx, 1), jnp.sum(gy, 1), jnp.sum(gz, 1)],
-                   axis=-1)
-    return fc - jnp.sum(gmir, axis=1)
+    # Per-component consumer form + sentinel zero row: consuming the
+    # gathered rows as three planes (not a 3-minor reduce) keeps the
+    # source table row-major on TPU — the minor-reduce consumer drove
+    # XLA to a component-plane layout whose row gather ran ~4x slower
+    # (probed in-situ at 98k atoms).  Dead slots gather the appended
+    # zero row, so no validity multiply is needed.
+    N, K = gx.shape
+    grows = jnp.concatenate(
+        [jnp.stack([gx, gy, gz], axis=-1).reshape(N * K, 3),
+         jnp.zeros((1, 3), gx.dtype)], axis=0)
+    ok = nlist.mask & (nlist.mirror >= 0)
+    mirS = jnp.where(ok, nlist.mirror, N * K).reshape(-1)
+    gmir = grows[mirS].reshape(N, K, 3)
+    fx = jnp.sum(gx, axis=1) - jnp.sum(gmir[..., 0], axis=1)
+    fy = jnp.sum(gy, axis=1) - jnp.sum(gmir[..., 1], axis=1)
+    fz = jnp.sum(gz, axis=1) - jnp.sum(gmir[..., 2], axis=1)
+    return jnp.stack([fx, fy, fz], axis=-1)
 
 
 def edge_vectors(x: jnp.ndarray, ghosts: Ghosts, nlist: NeighborList,

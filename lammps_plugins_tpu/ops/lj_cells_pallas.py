@@ -109,7 +109,7 @@ def _make_kernel(consts: dict, a_range, cell_mn, cell_size, Dz: int,
     (x0, _), (y0, _), (z0, z1) = a_range
     Az = z1 - z0
 
-    def kernel(a_ref, b_ref, f_ref):
+    def kernel(a_ref, b_ref, f_ref, bT_ref):
         q = pl.program_id(2)
 
         @pl.when(q == 0)
@@ -119,26 +119,34 @@ def _make_kernel(consts: dict, a_range, cell_mn, cell_size, Dz: int,
         # B element codes transposed once per program: [C, Dz]
         elT = jnp.swapaxes(b_ref[0, 0, :, 3, :], 0, 1)
 
+        # Pre-transpose the B pencil's coordinate rows into scratch once
+        # per program: the pair block wants B on sublanes ([C, 1]
+        # columns), and transposing inside the (t, dz) loops costs 3x
+        # more relayouts (each z-cell is consumed by three A cells).
+        zlo, zhi = max(z0 - 1, 0), min(z1 + 1, Dz)
+        for zb in range(zlo, zhi):
+            bT_ref[zb, :, 0:4] = jnp.swapaxes(b_ref[0, 0, zb, 0:4, :], 0, 1)
+
         for t in range(Az):
             a = a_ref[0, 0, z0 + t]                      # [8, C]
             ax, ay, az = a[0:1], a[1:2], a[2:3]
             ael = a[3:4]
-            zero = jnp.zeros_like(ax)
 
             # per-A-row bilinear constant setup (rows [1, C])
             row = {k: _bilinear_row(consts[k], ael) for k in consts}
 
-            facc = jnp.zeros_like(a)                     # [8, C]
+            fxa = jnp.zeros_like(ax)
+            fya = jnp.zeros_like(ax)
+            fza = jnp.zeros_like(ax)
             eacc = jnp.zeros_like(ax) if with_energy else None
             for dz in (-1, 0, 1):
                 zb = z0 + t + dz
-                b = b_ref[0, 0, zb]                      # [8, C]
                 # pair block [C(b) sublanes, C(a) lanes], pure VPU — the
                 # MXU (augmented-matmul) form was measured slower: the
                 # f32 HIGHEST dot is 6 bf16 passes per block
-                dxm = ax - jnp.swapaxes(b[0:1], 0, 1)
-                dym = ay - jnp.swapaxes(b[1:2], 0, 1)
-                dzm = az - jnp.swapaxes(b[2:3], 0, 1)
+                dxm = ax - bT_ref[zb, :, 0:1]
+                dym = ay - bT_ref[zb, :, 1:2]
+                dzm = az - bT_ref[zb, :, 2:3]
                 rsq = dxm * dxm + dym * dym + dzm * dzm
                 ebc = elT[:, zb:zb + 1]                  # [C, 1]
 
@@ -158,11 +166,9 @@ def _make_kernel(consts: dict, a_range, cell_mn, cell_size, Dz: int,
                 fp = jnp.where(outside, jnp.zeros_like(fp), fp)
 
                 # F_a = sum_b fp * (x_a - x_b), reduced over sublanes
-                fxr = jnp.sum(fp * dxm, axis=0, keepdims=True)
-                fyr = jnp.sum(fp * dym, axis=0, keepdims=True)
-                fzr = jnp.sum(fp * dzm, axis=0, keepdims=True)
-                facc = facc + jnp.concatenate(
-                    [fxr, fyr, fzr, zero, zero, zero, zero, zero], axis=0)
+                fxa = fxa + jnp.sum(fp * dxm, axis=0, keepdims=True)
+                fya = fya + jnp.sum(fp * dym, axis=0, keepdims=True)
+                fza = fza + jnp.sum(fp * dzm, axis=0, keepdims=True)
                 if with_energy:
                     v126 = (cst("lj3") * r6inv - cst("lj4")) * r6inv
                     vramp = drp * drp * (cst("c3") * drp + cst("c2"))
@@ -170,7 +176,8 @@ def _make_kernel(consts: dict, a_range, cell_mn, cell_size, Dz: int,
                     vlj = jnp.where(outside, jnp.zeros_like(vlj), vlj)
                     eacc = eacc + jnp.sum(vlj, axis=0, keepdims=True)
 
-            upd = f_ref[0, 0, t, 0:3] + facc[0:3]
+            facc = jnp.concatenate([fxa, fya, fza], axis=0)
+            upd = f_ref[0, 0, t, 0:3] + facc
             f_ref[0, 0, t, 0:3] = upd
             if with_energy:
                 aown = a[4:5]
@@ -208,6 +215,7 @@ def _lj_cell_call(P, *, a_range, cell_mn, cell_size, consts_key,
                                lambda i, j, q: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=out_struct((Ax, Ay, Az, R, C), P.dtype, P),
+        scratch_shapes=[pltpu.VMEM((Dz, C, 8), P.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=pairs * 30, bytes_accessed=pairs // (C * C) * Dz * R * C * 8,
             transcendentals=pairs),

@@ -534,6 +534,7 @@ class REBOMoS(PairStyle):
 
         import os
         consts_key = tuple(sorted(self._rebo_consts.items()))
+        mir_mode = os.environ.get("LPT_MIR", "")
         if os.environ.get("LPT_MIR_ROWS"):
             # kernel emits interleaved [K, Np, 4] cotangent rows: the
             # mirror combine becomes ONE 4-wide row gather (fast
@@ -546,10 +547,52 @@ class REBOMoS(PairStyle):
             grows = g4.reshape(K * Np, 4)
             gmir = grows[mirT.reshape(-1)].reshape(K, Np, 4)[..., 0:3] \
                 * mirvT[..., None]
+        elif mir_mode == "atom" and rebo.mirror is not None:
+            gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
+                                    consts_key=consts_key,
+                                    interpret=interpret)
+            # ATOM-MAJOR table form (LPT_MIR=atom) — the index-locality
+            # hypothesis.  Measured in-situ at 98k atoms: the gather
+            # STAYS on the column-major {0,1:T(4,128)} table layout and
+            # runs 10.1 ms/step (+ 1.3 ms swapaxes copy), WORSE than
+            # the default (8.4 ms): index locality is not the lever,
+            # the table layout is (see LPT_MIR=pin).
+            GA = jnp.concatenate(
+                [jnp.stack([gx, gy, gz], axis=-1)
+                    .swapaxes(0, 1).reshape(Np * K, 3),
+                 jnp.zeros((1, 3), dtype)], axis=0)
+            ok = rebo.mask & (rebo.mirror >= 0)
+            mirS = jnp.where(ok, rebo.mirror, Np * K).reshape(-1)
+            gmir = GA[mirS].reshape(N, K, 3)
+            fA = jnp.stack([jnp.sum(gx, axis=0), jnp.sum(gy, axis=0),
+                            jnp.sum(gz, axis=0)], axis=-1)[:N]
+            return fA - jnp.sum(gmir, axis=1)
+        elif mir_mode == "pin":
+            gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
+                                    consts_key=consts_key,
+                                    interpret=interpret)
+            # Layout-pinned table (LPT_MIR=pin): route the stacked
+            # cotangent table through a Pallas identity copy so XLA
+            # must materialize it row-major; the mirror gather then
+            # runs in the fast row-gather class (~0.43 ns/elem, the
+            # D-gather's measured rate) instead of the column-major
+            # element-gather class (~1.7 ns/elem).
+            from ..ops.pin_rows import pin_rows3
+            grows = pin_rows3(jnp.stack([gx, gy, gz], axis=-1),
+                              interpret=interpret)
+            gmir = grows[jnp.maximum(mirT, 0).reshape(-1)] \
+                .reshape(K, Np, 3) * mirvT[..., None]
+            gx_, gy_, gz_ = gx, gy, gz
+            fx = jnp.sum(gx_, axis=0) - jnp.sum(gmir[..., 0], axis=0)
+            fy = jnp.sum(gy_, axis=0) - jnp.sum(gmir[..., 1], axis=0)
+            fz = jnp.sum(gz_, axis=0) - jnp.sum(gmir[..., 2], axis=0)
+            return jnp.stack([fx, fy, fz], axis=-1)[:N]
         else:
             gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
                                     consts_key=consts_key,
                                     interpret=interpret)
+            # Default: edge-order table + clamped gather + validity
+            # multiply (the committed 8.4 ms/step form at 98k atoms).
             grows = jnp.stack([gx, gy, gz], axis=-1).reshape(K * Np, 3)
             gmir = grows[mirT.reshape(-1)].reshape(K, Np, 3) \
                 * mirvT[..., None]

@@ -110,6 +110,18 @@ class RebuildPlan:
     # 27-cell shell and the rsq filter recovers true neighbors, but cell
     # occupancy exploded ~30x and with it rebuild + LJ-kernel cost.)
     lo_ref: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Fractional (lattice-coordinate) coarse cells: the interior grid
+    # tiles the primary prism EXACTLY with cell_dims-2 sheared cells per
+    # dim (each of perpendicular width >= list_cut), so cell occupancy is
+    # uniform at the mean density.  The Cartesian AABB grid of a
+    # triclinic box (gamma=113.4 deg on the REBOMOS bench) oversizes the
+    # A-range ~1.5x and spreads occupancy 74 mean / 112 cap; since the
+    # Pallas cell-pair kernel's work is A_cells * 27 * C^2, fractional
+    # binning cut its pair evaluations 6.2e8 -> 3.5e8 per step at 98k
+    # atoms.  Binning uses the wrapped fractional coords the rebuild
+    # already computes; the kernel itself is unchanged (it reads packed
+    # Cartesian coordinates from the cell planes).
+    cell_frac: bool = False
 
 
 def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
@@ -118,7 +130,8 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
               cell_tiers: Tuple[str, ...] = (),
               cand_occupancy: int | None = None,
               mirror_tiers: Tuple[str, ...] = (),
-              k_final: bool = False) -> RebuildPlan:
+              k_final: bool = False,
+              frac_cells: bool = True) -> RebuildPlan:
     """Derive static geometry + padded capacities from measured counts.
 
     max_cell_occupancy is the coarse-grid occupancy; cand_occupancy the
@@ -196,6 +209,20 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         a_range.append((a0, a1))
     a_range = tuple(a_range)
 
+    # fractional coarse cells (see RebuildPlan.cell_frac): viable when the
+    # box is fully periodic (non-periodic dims leave fractional coords
+    # unwrapped/unbounded) and at least one cell fits per dim.  m_d =
+    # floor(W_d / gmargin) guarantees both the +-1-cell scan reach
+    # (perpendicular width >= cell cutoff) and that one halo ring holds
+    # the whole ghost margin (margin_d = gmargin/W_d <= 1/m_d).
+    cell_frac = False
+    if frac_cells and cell_tiers and all(box.periodic):
+        m_frac = [int(np.floor(widths[d] / gmargin)) for d in range(3)]
+        if all(m >= 1 for m in m_frac):
+            cell_frac = True
+            cell_dims = tuple(m + 2 for m in m_frac)
+            a_range = tuple((1, m + 1) for m in m_frac)
+
     def pad8(v):
         return max(8, int(-(-int(v * slack) // 8) * 8))
 
@@ -225,7 +252,7 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         cell_tiers=tuple(sorted(cell_tiers)),
         list_cut=list_cut, skin=skin,
         mirror_tiers=tuple(sorted(mirror_tiers)),
-        cell_mn=cell_mn, a_range=a_range,
+        cell_mn=cell_mn, a_range=a_range, cell_frac=cell_frac,
         periodic=tuple(bool(p) for p in box.periodic))
 
 
@@ -256,7 +283,14 @@ def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
 
     expanded = vol * np.prod([1 + 2 * m for m in margins])
     ghost_count = int(rho * (expanded - vol)) + 64
-    occupancy = int(rho * cell_size ** 3 * 1.2) + 8
+    cell_vol = cell_size ** 3
+    if cell_tiers and all(box.periodic):
+        # mirror make_plan's fractional-cell decision for the estimate
+        m_frac = [int(np.floor(widths[d] / (list_cut + 1e-3)))
+                  for d in range(3)]
+        if all(m >= 1 for m in m_frac):
+            cell_vol = vol / float(np.prod(m_frac))
+    occupancy = int(rho * cell_vol * 1.2) + 8
     cand_occ = int(rho * cand_size ** 3 * 1.2) + 4
     # per-center-type neighbor count: sum over neighbor types of the
     # composition-weighted cutoff ball (a max-cutoff ball overestimates
@@ -284,13 +318,25 @@ def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
                      cand_occupancy=cand_occ, mirror_tiers=mirror_tiers)
 
 
-def _bin_dense(x_all, valid_row, mn, size, dims, capacity, m_all):
+def _bin_dense(x_all, valid_row, mn, size, dims, capacity, m_all,
+               interior_first: int = 0):
     """Sorted dense cell table [ncells+2, C] (junk row + oob row).
+
+    interior_first > 0 clips the cell index of the first that many rows
+    (the owned atoms) to the interior range [1, dims-2]: fractional
+    binning arithmetic can round a wrapped coordinate at the hi face
+    into the halo ring (observed: fw = 1-2^-24 with one cell per dim
+    gives (fw+1)/1 -> exactly 2.0 in f32), which would place an owned
+    atom outside the kernel's A-range and silently zero its force.
 
     Returns (dense, c3, occupancy_count, overflow)."""
     ncells = dims[0] * dims[1] * dims[2]
     c3 = jnp.clip(jnp.floor((x_all - mn) / size).astype(jnp.int32),
                   0, jnp.asarray(np.array(dims, np.int32) - 1))
+    if interior_first:
+        own = (jnp.arange(m_all) < interior_first)[:, None]
+        c3i = jnp.clip(c3, 1, jnp.asarray(np.array(dims, np.int32) - 2))
+        c3 = jnp.where(own, c3i, c3)
     cid = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
     cid = jnp.where(valid_row, cid, ncells)      # invalid ghosts -> junk
     order = jnp.argsort(cid)
@@ -615,9 +661,28 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     if plan.cell_tiers:
         from .build import CellData
         C = plan.cell_capacity
-        cmn = jnp.asarray(np.array(plan.cell_mn), dtype) + lo_off
-        dense_c, _, occc, ovc = _bin_dense(
-            x_all, valid_row, cmn, plan.cell_size, plan.cell_dims, C, m_all)
+        if plan.cell_frac:
+            # bin in wrapped fractional coordinates: interior cells tile
+            # the prism exactly (uniform occupancy on triclinic boxes).
+            # Ghost fractional coords are fw[owner] + integer shift; the
+            # parked shift (1e5) of invalid ghosts is routed to the junk
+            # row by valid_row before it could clip into a real cell.
+            # Owned rows are clipped strictly below 1.0: f - floor(f)
+            # rounds to exactly 1.0 in f32 for tiny negative f, which
+            # would bin the atom into the halo ring outside a_range and
+            # silently drop its force in the aslot remap.
+            fb = jnp.clip(fw, 0.0, 1.0 - 2.0 ** -24)
+            f_all = jnp.concatenate([fb, fw[owner] + gshift])
+            s_vec = 1.0 / (np.array(plan.cell_dims, np.float64) - 2.0)
+            dense_c, _, occc, ovc = _bin_dense(
+                f_all, valid_row, jnp.asarray(-s_vec, dtype),
+                jnp.asarray(s_vec, dtype), plan.cell_dims, C, m_all,
+                interior_first=n)
+        else:
+            cmn = jnp.asarray(np.array(plan.cell_mn), dtype) + lo_off
+            dense_c, _, occc, ovc = _bin_dense(
+                x_all, valid_row, cmn, plan.cell_size, plan.cell_dims, C,
+                m_all)
         flags["cell_overflow"] = ovc
         flags["count:cell"] = occc
         offs14 = np.array(

@@ -136,20 +136,31 @@ class Engine:
         # cell occupancy under the plan's grid geometry
         plan0 = device_build.make_plan(
             self.state.box, requests, self.skin, ghost_count, 4, k_counts,
-            slack=slack)
+            slack=slack, cell_tiers=getattr(self.pair, "cell_tiers", ()))
         owner = np.asarray(host.ghosts.owner)
         shift = np.asarray(host.ghosts.shift)
         h = self.state.box.h_np()
         x_all = np.concatenate([x_np, x_np[owner] + shift @ h])
-        def occupancy(dims, size, mn):
+        def occupancy(pts, dims, size, mn):
             dims = np.array(dims)
-            c3 = np.clip(((x_all - mn) / size).astype(np.int64), 0, dims - 1)
+            c3 = np.clip(((pts - mn) / size).astype(np.int64), 0, dims - 1)
             cid = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
             return int(np.bincount(cid).max())
 
-        occ = occupancy(plan0.cell_dims, plan0.cell_size,
-                        np.array(plan0.cell_mn))
-        occ_f = occupancy(plan0.cand_dims, plan0.cand_size,
+        if plan0.cell_frac:
+            # fractional binning: measure in wrapped lattice coordinates
+            # (matches device_rebuild's fractional cell path)
+            hinv = np.linalg.inv(h)
+            lo = self.state.box.lo_np()
+            f_own = (x_np - lo) @ hinv
+            f_own -= np.floor(f_own)
+            f_all = np.concatenate([f_own, f_own[owner] + shift])
+            s_vec = 1.0 / (np.array(plan0.cell_dims, np.float64) - 2.0)
+            occ = occupancy(f_all, plan0.cell_dims, s_vec, -s_vec)
+        else:
+            occ = occupancy(x_all, plan0.cell_dims, plan0.cell_size,
+                            np.array(plan0.cell_mn))
+        occ_f = occupancy(x_all, plan0.cand_dims, plan0.cand_size,
                           np.array(plan0.grid_mn))
         self._plan = device_build.make_plan(
             self.state.box, requests, self.skin, ghost_count, occ, k_counts,

@@ -567,6 +567,23 @@ class REBOMoS(PairStyle):
             fA = jnp.stack([jnp.sum(gx, axis=0), jnp.sum(gy, axis=0),
                             jnp.sum(gz, axis=0)], axis=-1)[:N]
             return fA - jnp.sum(gmir, axis=1)
+        elif mir_mode == "pin2":
+            gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
+                                    consts_key=consts_key,
+                                    interpret=interpret)
+            # 2-D layout pin (LPT_MIR=pin2): reshape the stacked planes
+            # to [K, Np*3] before the identity custom call, so the pin's
+            # required row-major operand layout IS the interleaved table
+            # order — one XLA transpose-copy + a full-lane streaming
+            # copy, then the mirror gather runs in the fast row class.
+            # MEASURED: 3.02e6 vs 3.64e6 default at 98k atoms — loses,
+            # like every pin variant: the default gather fuses with its
+            # producer, so any materialized interleave is a net cost.
+            from ..ops.pin_rows import pin_rows3_v2
+            grows = pin_rows3_v2(jnp.stack([gx, gy, gz], axis=-1),
+                                 interpret=interpret)
+            gmir = grows[mirT.reshape(-1)].reshape(K, Np, 3) \
+                * mirvT[..., None]
         elif mir_mode == "pin":
             gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
                                     consts_key=consts_key,

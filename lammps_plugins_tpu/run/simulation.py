@@ -44,11 +44,20 @@ from .timers import Timers
 def _quantize_k(target: int) -> int:
     """Neighbor-list K capacity for a measured kmax `target`.
 
-    Multiples of 4: the [K, Np] per-edge gathers are linear in K and the
-    K^2 angular kernel quadratic, so half a sublane tile of slack is
-    already ~7% of the step; Mosaic masks the ragged final sublane tile.
+    Small K (REBO-class lists, K <= 48): multiples of 4 — the K^2 angular
+    kernels are quadratic in K, so half a sublane tile of slack is already
+    ~7% of the step; Mosaic masks the ragged final sublane tile.
+
+    Large K (EAM-class master lists): multiples of 16.  Per-edge work is
+    linear in K there (<=4% slack per quantum), while every distinct K is
+    a full fused-loop retrace — measured 200-300 s for the 32k-atom AEAM
+    loop on the tunneled backend.  At 863 K kmax creeps upward for
+    hundreds of steps; quantum 4 caused 4x the retraces of quantum 16
+    (the bench's 935 s warmup was K-creep compiles, not physics).
     Minimum 16 bounds retrace churn on tiny systems."""
-    return max(16, -(-target // 4) * 4)
+    if target <= 48:
+        return max(16, -(-target // 4) * 4)
+    return -(-target // 16) * 16
 
 
 class Engine:

@@ -13,6 +13,14 @@ per step (~17 ms at 255 G select/s).  Variants:
       table (f13 | phi13 | frev13, seg-major) + Horner
   P3  Horner per segment (table dim bilinear), select the 5 RESULT
       planes over segments (8x Horner work, 5x7 selects total)
+
+MEASURED (v5e, [32000, 112] f32):
+  P0 3.32 ms | P1 9.61 | P2 13.12 | P3 5.58
+The production select-chain WINS: XLA fuses constant-operand select
+chains far better than the standalone-select roofline suggests (the
+chain is compare-against-iota + masked constant folds, not 31 generic
+selects).  Poly dispatch is ~3.3 ms of the step — not the AEAM
+bottleneck; the bottleneck is retrace churn + rebuild amortization.
 """
 
 import os

@@ -830,9 +830,10 @@ class ShardedEngine:
             zero_flags = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype),
                 jax.eval_shape(resettle, ss)[3])
+            halfd = jnp.sqrt(half2)
 
             def body(carry):
-                ss, halo, nbr, done, pending, flags = carry
+                ss, halo, nbr, done, pending, flags, dprev = carry
 
                 def do_rs(s, hl, nb, fl):
                     s2, hl2, nb2, fl2 = resettle(s)
@@ -848,12 +849,18 @@ class ShardedEngine:
                 ss = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(accept, a, b), ns, ss)
                 done = done + jnp.where(accept, check, 0)
-                pending = maxd > 0.64 * half2
-                return ss, halo, nbr, done, pending, flags
+                # predictive proactive resettle (see Engine._device_loop_fn:
+                # extrapolate one segment of displacement growth so hot
+                # systems resettle BEFORE the half-skin trips instead of
+                # discarding and re-running nearly every segment)
+                d = jnp.sqrt(maxd)
+                growth = jnp.maximum(d - dprev, 0.0)
+                pending = (d + growth > 0.95 * halfd) | tripped
+                return ss, halo, nbr, done, pending, flags, d
 
             carry = (ss, halo, nbr, jnp.zeros((), jnp.int32), pending0,
-                     zero_flags)
-            ss, halo, nbr, done, pending, flags = jax.lax.while_loop(
+                     zero_flags, jnp.zeros((), self.dtype))
+            ss, halo, nbr, done, pending, flags, _ = jax.lax.while_loop(
                 lambda c: c[3] < nsteps, body, carry)
             return ss, halo, nbr, pending, flags
 

@@ -350,7 +350,7 @@ class Engine:
         a fresh-list segment that still trips is accepted and the next
         iteration rebuilds first (the reference's own guarantee level:
         neigh_modify delay/every can miss the same fast-atom case).  The
-        proactive 80%-of-half-skin rebuild matches the host loop.
+        predictive proactive rebuild matches the host loop.
 
         Overflow handling moves to the caller: rebuild flags are max-merged
         across the loop and checked ONCE per span; any overflow discards
@@ -375,9 +375,10 @@ class Engine:
             zero_flags = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype),
                 jax.eval_shape(rebuild, state)[2])
+            halfd = jnp.sqrt(half2)
 
             def body(carry):
-                state, nbr, done, pending, flags = carry
+                state, nbr, done, pending, flags, dprev = carry
 
                 def do_rb(s, n, f):
                     s2, n2, f2 = rebuild(s)
@@ -393,20 +394,34 @@ class Engine:
                     return self._one_step(st, nbr), None
 
                 ns, _ = jax.lax.scan(one, state, None, length=check)
-                d = ns.x - nbr.x_build
-                md = jnp.max(jnp.sum(d * d, axis=-1))
+                dd = ns.x - nbr.x_build
+                md = jnp.max(jnp.sum(dd * dd, axis=-1))
                 tripped = md > half2
                 accept = jnp.logical_or(pending, jnp.logical_not(tripped))
                 state = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(accept, a, b), ns, state)
                 done = done + jnp.where(accept, check, 0)
-                # covers all cases: a discarded segment has md > half2
-                pending = md > 0.64 * half2
-                return state, nbr, done, pending, flags
+                # Predictive proactive rebuild: extrapolate one segment of
+                # displacement growth and rebuild BEFORE the half-skin
+                # trips.  The fixed 80%-of-half-skin rule discarded nearly
+                # every segment on hot systems (863 K AEAM: per-segment
+                # growth ~0.11 A vs the 0.10 A gap it left, so segments
+                # jumped from "under 80%" straight past the trip — each
+                # discard re-runs the whole segment, ~12x step cost).  A
+                # discarded segment still has md > half2, so pending stays
+                # true and the re-run gets fresh lists, as before.  dprev
+                # is the previous segment's end displacement in the SAME
+                # build epoch (reset semantics: after a rebuild d < dprev,
+                # growth clamps to 0 and only d itself drives the rule).
+                d = jnp.sqrt(md)
+                growth = jnp.maximum(d - dprev, 0.0)
+                pending = (d + growth > 0.95 * halfd) | tripped
+                return state, nbr, done, pending, flags, d
 
             carry = (state, nbr, jnp.zeros((), jnp.int32),
-                     pending0, zero_flags)
-            state, nbr, done, pending, flags = jax.lax.while_loop(
+                     pending0, zero_flags,
+                     jnp.zeros((), self.state.x.dtype))
+            state, nbr, done, pending, flags, _ = jax.lax.while_loop(
                 lambda c: c[2] < nsteps, body, carry)
             return state, nbr, pending, flags
 
@@ -644,14 +659,20 @@ class Engine:
                         self.rebuild_neighbors()
             else:
                 self.state = new_state
-                # proactive rebuild: once displacement passes 80% of the
-                # half-skin bound, the NEXT segment would almost surely
-                # trip and be re-run (2x its cost on hot systems, e.g.
-                # sample.in at 863 K trips every ~25 steps).  Rebuilding
-                # now costs one warm rebuild instead of a redone segment.
-                if float(maxdisp_sq) > (0.8 ** 2) * half_skin_sq:
+                # predictive proactive rebuild: extrapolate one segment of
+                # displacement growth; if the NEXT segment would cross the
+                # half-skin bound it would be discarded and re-run (2x its
+                # cost on hot systems, e.g. sample.in at 863 K trips every
+                # ~25 steps).  Rebuilding now costs one warm rebuild
+                # instead of a redone segment.  Same rule as the fused
+                # device loop (_device_loop_fn).
+                d_now = float(maxdisp_sq) ** 0.5
+                growth = max(d_now - getattr(self, "_seg_dprev", 0.0), 0.0)
+                self._seg_dprev = d_now
+                if d_now + growth > 0.95 * half_skin_sq ** 0.5:
                     with self.timers.section("Neigh"):
                         self.rebuild_neighbors()
+                    self._seg_dprev = 0.0
 
             done += seg
             if thermo_every and done % thermo_every == 0:

@@ -535,6 +535,23 @@ class REBOMoS(PairStyle):
         import os
         consts_key = tuple(sorted(self._rebo_consts.items()))
         mir_mode = os.environ.get("LPT_MIR", "")
+        if mir_mode == "pk":
+            # Pallas-consumer combine: the kernel emits the interleaved
+            # [K, Np, 4] cotangent table alongside the planes; the mirror
+            # gather is ONE row gather (fast class, ~2.6 ms at 98k atoms
+            # vs ~8.4 ms for the three element gathers of the default),
+            # and the K-reduction that would re-fuse the gather into the
+            # slow component-plane form (probe_mirror9-13) runs inside an
+            # opaque Pallas combine kernel instead (ops/mirror_pallas.py).
+            from ..ops.mirror_pallas import mirror_combine_rows
+            gx, gy, gz, g4 = _rebo_call(
+                dxT, dyT, dzT, jelT, mskT, eiT, consts_key=consts_key,
+                interpret=interpret, emit_rows=True)
+            gmir4 = g4.reshape(K * Np, 4)[mirT.reshape(-1)] \
+                .reshape(K, Np, 4)
+            frows = mirror_combine_rows(gx, gy, gz, gmir4, mirvT,
+                                        interpret=interpret)
+            return jnp.stack([frows[0], frows[1], frows[2]], axis=-1)[:N]
         if os.environ.get("LPT_MIR_ROWS"):
             # kernel emits interleaved [K, Np, 4] cotangent rows: the
             # mirror combine becomes ONE 4-wide row gather (fast

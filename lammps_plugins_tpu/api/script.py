@@ -502,6 +502,11 @@ class Script:
             self._add_fix(fid, FixNVT(float(rest[1]), float(rest[2]),
                                       float(rest[3]), fix_id=fid,
                                       group_mask=gmask))
+        elif style == "langevin":
+            from ..fixes.langevin import FixLangevin
+            self._add_fix(fid, FixLangevin(float(rest[0]), float(rest[1]),
+                                           float(rest[2]), int(rest[3]),
+                                           group_mask=gmask))
         elif style == "bfield":
             b = []
             for comp in rest[:3]:
@@ -739,11 +744,60 @@ class Script:
                "lz": "lz", "pxx": "pxx", "pyy": "pyy", "pzz": "pzz",
                "pxy": "pxy", "pxz": "pxz", "pyz": "pyz"}
 
+    def cmd_min_style(self, args):
+        """min_style fire — FIRE is the one TPU-native minimizer (see
+        run/minimize.py for why CG/line-search styles are not)."""
+        if args[0] not in ("fire", "fire/old", "quickmin"):
+            raise ScriptError(
+                f"min_style {args[0]!r} not supported (only fire; its "
+                f"damped-MD iteration is the jit/scan-shaped minimizer)")
+
+    def cmd_min_modify(self, args):
+        pass                                    # FIRE defaults only
+
+    def cmd_minimize(self, args):
+        """minimize etol ftol maxiter maxeval (maxeval folded into
+        maxiter: FIRE costs exactly one force evaluation per iteration)."""
+        from ..run.minimize import minimize as _minimize
+        etol, ftol = float(args[0]), float(args[1])
+        maxiter = int(args[2])
+        if len(args) > 3:
+            maxiter = min(maxiter, int(args[3]))
+        if self.engine is None:
+            self.engine = self._make_engine()
+        if hasattr(self.engine, "shards"):
+            raise ScriptError("minimize is single-device (run it before "
+                              "sharded dynamics, like LAMMPS minimizes "
+                              "before production runs)")
+        res = _minimize(self.engine, etol=etol, ftol=ftol, maxiter=maxiter)
+        self.log(repr(res))
+        self.last_min = res
+        return res
+
     def cmd_run(self, args):
         n = int(args[0])
         if self.engine is None:
             self.engine = self._make_engine()
         eng = self.engine
+
+        # T-ramp window: LAMMPS ramps Tstart->Tstop over EACH run command
+        # (fix_nh.cpp compute_temp_target uses update->beginstep/endstep).
+        # A changed window invalidates the compiled step (the window is a
+        # trace-time constant of the fix's _t_target).
+        ramped = [fx for fx in self.fixes
+                  if hasattr(fx, "begin_step") and hasattr(fx, "t_stop")
+                  and fx.t_stop != fx.t_start]
+        if ramped:
+            if hasattr(eng, "shards"):      # sharded: per-shard step scalar
+                b = int(np.asarray(eng.shards.step).ravel()[0])
+            else:
+                b = int(np.asarray(eng.state.step))
+            for fx in ramped:
+                if (fx.begin_step, fx.end_step) != (b, b + n):
+                    fx.begin_step, fx.end_step = b, b + n
+                    eng._seg_jit = None
+                    if hasattr(eng, "_loop_jit"):
+                        eng._loop_jit = None
 
         header = "   " + "".join(f"{c:>15}" for c in self.thermo_cols)
         self.log(header)

@@ -603,6 +603,29 @@ class Script:
                 m = state.per_atom_mass
                 return 0.5 * self.units.mvv2e * m \
                     * jnp.sum(state.v ** 2, axis=1)
+        elif style == "msd":
+            # compute msd — global 4-vector (dx2, dy2, dz2, total), averaged
+            # over the group, from UNWRAPPED displacements since the compute
+            # was defined (LAMMPS ComputeMSD reference-at-creation
+            # semantics, image-flag unmapped)
+            ref = {"x0": None}
+
+            def vec(state, _g=gmask, _ref=ref):
+                h = state.box.h_np()
+                xu = np.asarray(state.x) + np.asarray(state.image) @ h
+                if _ref["x0"] is None:
+                    _ref["x0"] = xu
+                d = xu - _ref["x0"]
+                if _g is not None:
+                    d = d[np.asarray(_g)]
+                n = max(1, d.shape[0])
+                comp = (d * d).sum(axis=0) / n
+                return np.array([comp[0], comp[1], comp[2], comp.sum()])
+
+            if not hasattr(self, "vector_computes"):
+                self.vector_computes = {}
+            self.vector_computes[f"c_{cid}"] = vec
+            return
         else:
             raise ScriptError(f"Unsupported compute style {style}")
 
@@ -822,10 +845,26 @@ class Script:
                 return float(fx.energy(st, eng.ctx))
             return float(fx.vector(st)[k - 1])
 
+        def compute_output(col):
+            """c_ID -> vector total (last element); c_ID[k] -> element k."""
+            name, k = col, None
+            if "[" in col:
+                name, idx = col[:-1].split("[")
+                k = int(idx)
+            vc = getattr(self, "vector_computes", {}).get(name)
+            if vc is None:
+                return 0.0
+            st = (eng.fix_view_state() if hasattr(eng, "fix_view_state")
+                  else eng.state)
+            v = vc(st)
+            return float(v[-1] if k is None else v[k - 1])
+
         def on_thermo(row):
             vals = []
             for c in self.thermo_cols:
-                if c.startswith("f_"):
+                if c.startswith("c_"):
+                    v = compute_output(c)
+                elif c.startswith("f_"):
                     v = fix_output(c)
                 else:
                     key = self._COLMAP.get(c, c)

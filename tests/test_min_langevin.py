@@ -120,6 +120,30 @@ minimize        0.0 1e-6 500
         Script().run_text(SETUP + "min_style cg\n")
 
 
+def test_compute_msd_in_thermo():
+    """compute msd: zero at the reference step, grows under dynamics,
+    total = sum of components (ComputeMSD semantics)."""
+    s = Script()
+    logged = []
+    s.log = logged.append
+    s.run_text(SETUP + """
+velocity        all create 1.44 87287
+fix             1 all nve
+compute         2 all msd
+thermo_style    custom step temp c_2[1] c_2[2] c_2[3] c_2[4]
+thermo          40
+run             40
+""")
+    rows = [ln.split() for ln in logged
+            if ln.strip() and ln.split()[0].strip().isdigit()]
+    first, last = rows[0], rows[-1]
+    assert float(first[5]) == 0.0               # reference step
+    comps = [float(last[k]) for k in (2, 3, 4)]
+    total = float(last[5])
+    assert total > 1e-6                          # atoms moved
+    np.testing.assert_allclose(total, sum(comps), rtol=1e-10)
+
+
 def test_minimize_energy_tolerance_stop():
     from lammps_plugins_tpu.run.minimize import minimize
 

@@ -276,6 +276,21 @@ class Script:
     def cmd_create_atoms(self, args):
         type0 = int(args[0])
         mode = args[1]
+        if mode == "single":
+            # create_atoms <type> single x y z [units box|lattice]
+            xyz = [float(v) for v in args[2:5]]
+            if "units" in args and args[args.index("units") + 1] != "box":
+                xyz = [c * self.lattice.scale for c in xyz]
+            pos = np.asarray([xyz], dtype=np.float64)
+            types = np.asarray([type0], dtype=np.int32)
+            if self.positions is None:
+                self.positions, self.types = pos, types
+            else:
+                self.positions = np.concatenate([self.positions, pos])
+                self.types = np.concatenate([self.types, types])
+            self.log("Created 1 atoms")
+            self.engine = None
+            return
         if self.lattice is None:
             raise ScriptError("create_atoms requires a lattice")
         basis_types = [type0] * len(self.lattice.basis)
@@ -349,8 +364,17 @@ class Script:
         if args[0] in ("lj/cut", "lj/cut/coul/cut"):
             self.pair = None        # built at first pair_coeff (needs ntypes)
             self.engine = None
+        elif args[0] in ("none", "zero"):
+            # pure-fix dynamics (e.g. the fix bfield cyclotron scene,
+            # BASELINE.json config 2): no pair_coeff required
+            from ..potentials.none import PairNone
+            cut = float(args[1]) if len(args) > 1 else 1.0
+            self.pair = PairNone(cut)
+            self.engine = None
 
     def cmd_pair_coeff(self, args):
+        if self.pair_style_name in ("none", "zero"):
+            return      # pair_coeff * * accepted, no coefficients to set
         if self.pair_style_name in ("lj/cut", "lj/cut/coul/cut"):
             return self._ljcut_coeff(args)
         if args[0] != "*" or args[1] != "*":
@@ -465,10 +489,17 @@ class Script:
 
     def cmd_velocity(self, args):
         """velocity <group> create T seed [dist u|g] [mom y|n] [rot y|n]
-        [units box] [loop geom] — LAMMPS Velocity::create keywords."""
+        [units box] [loop geom] — LAMMPS Velocity::create keywords.
+        Also: velocity <group> set vx vy vz [units box]."""
+        if args[1] == "set":
+            vals = [float(v) for v in args[2:5]]
+            self._velocity_cmds.append((args[0], "set", vals, {}))
+            self.engine = None
+            return
         if args[1] != "create":
             raise ScriptError(
-                f"velocity style {args[1]!r} not supported (only create)")
+                f"velocity style {args[1]!r} not supported "
+                f"(only create/set)")
         group = args[0]
         kw = {"dist": "uniform", "zero_momentum": True,
               "zero_rotation": False}
@@ -504,17 +535,29 @@ class Script:
                                       group_mask=gmask))
         elif style == "langevin":
             from ..fixes.langevin import FixLangevin
+            if len(rest) > 4:
+                # LAMMPS keywords (zero, tally, gjf, angmom, scale, ...)
+                # change the physics; silently dropping them would run a
+                # different simulation than the deck requests
+                raise ScriptError(
+                    f"Unsupported fix langevin keywords: {rest[4:]}")
             self._add_fix(fid, FixLangevin(float(rest[0]), float(rest[1]),
                                            float(rest[2]), int(rest[3]),
                                            group_mask=gmask))
         elif style == "bfield":
+            # equal-style components compile to traceable t -> B closures
+            # (fix_bfield.cpp:62-81,513-519: Variable::compute_equal every
+            # step); string-substitution + eval cannot run under the jitted
+            # step where `time` is a tracer
+            from .equalvar import compile_equal
             b = []
             for comp in rest[:3]:
                 if comp.startswith("v_"):
                     name = comp[2:]
-                    expr = self.variables[name]
-                    b.append(lambda t, e=expr: self._eval(
-                        e.replace("time", repr(float(t)))))
+                    if name not in self.variables:
+                        raise ScriptError(f"Undefined variable v_{name}")
+                    b.append(compile_equal(self.variables[name],
+                                           self.variables))
                 else:
                     b.append(float(comp))
             region = None
@@ -734,6 +777,13 @@ class Script:
         state = self._state()
         for group, t_target, seed, kw in self._velocity_cmds:
             gmask = self._group_mask(group)
+            if t_target == "set":
+                v = np.array(state.v)
+                rows = (slice(None) if gmask is None
+                        else np.asarray(gmask, bool))
+                v[rows] = np.asarray(seed, v.dtype)     # seed = [vx,vy,vz]
+                state = state.replace(v=jnp.asarray(v, state.x.dtype))
+                continue
             state = velocity_create(state, self.units, t_target, seed,
                                     group_mask=gmask, **kw)
         # ordering check: fix bfield must precede the time integrator and
@@ -853,8 +903,17 @@ class Script:
                 k = int(idx)
             vc = getattr(self, "vector_computes", {}).get(name)
             if vc is None:
-                return 0.0
-            st = (eng.fix_view_state() if hasattr(eng, "fix_view_state")
+                if name in getattr(self, "computes", {}):
+                    raise ScriptError(
+                        f"Per-atom compute {name} cannot be used in "
+                        f"thermo_style custom (LAMMPS: 'Thermo compute "
+                        f"does not compute scalar/vector')")
+                raise ScriptError(f"Unknown compute ID in thermo: {name}")
+            # vector computes read x/box/image: the sharded engine's
+            # fix_view_state() only carries extras, so gather the full
+            # tag-ordered state (rows stay aligned with the compute's
+            # reference snapshot across atom migration)
+            st = (eng.to_state() if hasattr(eng, "to_state")
                   else eng.state)
             v = vc(st)
             return float(v[-1] if k is None else v[k - 1])

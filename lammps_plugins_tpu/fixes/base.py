@@ -63,6 +63,33 @@ class Fix:
         """Called once before a run (allocate extras, validate)."""
         return state
 
+    def group_sel(self, state: State):
+        """Resolve this fix's group to a bool mask over the state's rows,
+        or None for 'all' (LAMMPS `fix ID <group> style` semantics).
+
+        Single-device: the stored [N] mask as-is.  Under the sharded
+        engine the local rows are a migrating slab whose identity is the
+        global atom tag (state.extras['__tag__']); the replicated global
+        mask is gathered per row, so group membership follows atoms
+        across shard migration — the analogue of atom->mask traveling
+        with atoms through Comm::exchange."""
+        gm = getattr(self, "group_mask", None)
+        if gm is None:
+            return None
+        import jax.numpy as jnp
+        gm = jnp.asarray(gm)
+        gm = gm if gm.dtype == jnp.bool_ else gm.astype(bool)
+        if gm.shape[0] == state.x.shape[0] \
+                and "__tag__" not in state.extras:
+            return gm
+        tag = state.extras.get("__tag__")
+        if tag is None:
+            raise ValueError(
+                f"group mask length {gm.shape[0]} does not match state "
+                f"rows {state.x.shape[0]} and no row tags are present")
+        safe = jnp.clip(tag, 0, gm.shape[0] - 1)
+        return jnp.where(tag >= 0, gm[safe], False)
+
     def initial_integrate(self, state: State, ctx: StepContext) -> State:
         return state
 

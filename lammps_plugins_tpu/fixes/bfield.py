@@ -94,9 +94,10 @@ class FixBfield(Fix):
         c1 = ctx.units.qBm2f * q / m
         omega = c1[:, None] * B[None, :]          # [N,3]
 
-        sel = jnp.ones(state.natoms, dtype=bool)
-        if self.group_mask is not None:
-            sel = sel & jnp.asarray(self.group_mask)
+        sel = jnp.ones(state.x.shape[0], dtype=bool)
+        gsel = self.group_sel(state)
+        if gsel is not None:
+            sel = sel & gsel
         if self.region is not None:
             sel = sel & self.region.inside(state.x)
         self_sel = sel.astype(state.x.dtype)[:, None]

@@ -56,9 +56,10 @@ class FixLangevin(Fix):
                            else np.asarray(group_mask, bool))
 
     def _sel(self, state: State):
-        if self.group_mask is None:
-            return jnp.ones((state.natoms, 1), state.x.dtype)
-        return jnp.asarray(self.group_mask).astype(state.x.dtype)[:, None]
+        sel = self.group_sel(state)
+        if sel is None:
+            return jnp.ones((state.x.shape[0], 1), state.x.dtype)
+        return sel.astype(state.x.dtype)[:, None]
 
     def _t_target(self, state: State):
         if self.end_step <= self.begin_step:

@@ -22,10 +22,10 @@ class FixNVE(Fix):
         self.group_mask = group_mask
 
     def _sel(self, state):
-        if self.group_mask is None:
+        sel = self.group_sel(state)
+        if sel is None:
             return 1.0
-        import jax.numpy as jnp
-        return jnp.asarray(self.group_mask).astype(state.x.dtype)[:, None]
+        return sel.astype(state.x.dtype)[:, None]
 
     def initial_integrate(self, state: State, ctx: StepContext) -> State:
         m = state.per_atom_mass[:, None]

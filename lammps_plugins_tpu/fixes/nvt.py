@@ -45,9 +45,10 @@ class FixNVT(Fix):
     # -- helpers -----------------------------------------------------------
     def _sel(self, state: State):
         """[N,1] float selector (1 inside the group)."""
-        if self.group_mask is None:
-            return jnp.ones((state.natoms, 1), state.x.dtype)
-        return jnp.asarray(self.group_mask).astype(state.x.dtype)[:, None]
+        sel = self.group_sel(state)
+        if sel is None:
+            return jnp.ones((state.x.shape[0], 1), state.x.dtype)
+        return sel.astype(state.x.dtype)[:, None]
 
     def _tdof(self, state: State, ctx: StepContext | None = None) -> float:
         if self.group_mask is not None:

@@ -180,11 +180,6 @@ class ShardedEngine:
         self.ctx = StepContext(units=units,
                                dt=dt if dt is not None else units.dt,
                                axis=AXIS, natoms_global=state.natoms)
-        for f in self.fixes:
-            if getattr(f, "group_mask", None) is not None:
-                raise ValueError("group-scoped fixes are not supported "
-                                 "under the sharded engine yet")
-
         self.box = state.box
         self.natoms = state.natoms
         self.dtype = state.x.dtype
@@ -471,10 +466,17 @@ class ShardedEngine:
 
     def resettle(self, _retry=0):
         """Wrap + migrate + rebuild halos and neighbor structures."""
-        if self._resettle_jit is None:
+        import time as _time
+        warm = self._resettle_jit is not None
+        if not warm:
             self._resettle_jit = self._build_resettle()
+        t0 = _time.perf_counter()
         ss, halo, nbr, flags = self._resettle_jit(self.shards)
         flags_np = jax.device_get(flags)
+        if warm:
+            # warm per-resettle cost: used to attribute fused-span time
+            # to the Neigh section (log.rebomos-bulk.1:62-70)
+            self._resettle_cost = _time.perf_counter() - t0
         if int(flags_np["lost_atoms"]):
             raise RuntimeError(
                 f"{int(flags_np['lost_atoms'])} atoms moved more than one "
@@ -552,13 +554,20 @@ class ShardedEngine:
 
     # -- hot step ----------------------------------------------------------
     def _local_state(self, ss):
+        # __tag__ lets group-scoped fixes resolve membership by global
+        # atom id across migration (Fix.group_sel); stripped again in
+        # _from_state so the persistent extras carry no stale copy
+        extras = dict(ss.extras)
+        extras["__tag__"] = ss.tag
         return State(x=ss.x, v=ss.v, f=ss.f, type=ss.type, q=ss.q,
                      image=ss.image, mass=self._mass, box=self.box,
-                     step=ss.step, extras=ss.extras)
+                     step=ss.step, extras=extras)
 
     def _from_state(self, ss, st):
+        extras = dict(st.extras)
+        extras.pop("__tag__", None)
         return ss.replace(x=st.x, v=st.v, f=st.f, image=st.image,
-                          step=st.step, extras=st.extras)
+                          step=st.step, extras=extras)
 
     def _build_segment(self, nsteps: int):
         Pn = self.n_devices
@@ -833,7 +842,7 @@ class ShardedEngine:
             halfd = jnp.sqrt(half2)
 
             def body(carry):
-                ss, halo, nbr, done, pending, flags, dprev = carry
+                ss, halo, nbr, done, pending, flags, dprev, n_rs = carry
 
                 def do_rs(s, hl, nb, fl):
                     s2, hl2, nb2, fl2 = resettle(s)
@@ -843,6 +852,7 @@ class ShardedEngine:
                 ss, halo, nbr, flags = jax.lax.cond(
                     pending, do_rs, lambda s, hl, nb, fl: (s, hl, nb, fl),
                     ss, halo, nbr, flags)
+                n_rs = n_rs + pending.astype(jnp.int32)
                 ns, maxd = segment(ss, halo, nbr)
                 tripped = maxd > half2
                 accept = jnp.logical_or(pending, jnp.logical_not(tripped))
@@ -856,13 +866,14 @@ class ShardedEngine:
                 d = jnp.sqrt(maxd)
                 growth = jnp.maximum(d - dprev, 0.0)
                 pending = (d + growth > 0.95 * halfd) | tripped
-                return ss, halo, nbr, done, pending, flags, d
+                return ss, halo, nbr, done, pending, flags, d, n_rs
 
             carry = (ss, halo, nbr, jnp.zeros((), jnp.int32), pending0,
-                     zero_flags, jnp.zeros((), self.dtype))
-            ss, halo, nbr, done, pending, flags, _ = jax.lax.while_loop(
+                     zero_flags, jnp.zeros((), self.dtype),
+                     jnp.zeros((), jnp.int32))
+            ss, halo, nbr, done, pending, flags, _, n_rs = jax.lax.while_loop(
                 lambda c: c[3] < nsteps, body, carry)
-            return ss, halo, nbr, pending, flags
+            return ss, halo, nbr, pending, flags, n_rs
 
         return jax.jit(loop, static_argnums=4)
 
@@ -872,7 +883,7 @@ class ShardedEngine:
             self._loop_jit = self._build_loop()
         start = (self.shards, self.halo, self.nbr)
         pending0 = getattr(self, "_pending_rebuild", False)
-        ss, halo, nbr, pending, flags = self._loop_jit(
+        ss, halo, nbr, pending, flags, n_rs = self._loop_jit(
             self.shards, self.halo, self.nbr, jnp.asarray(pending0), nsteps)
         flags_np = jax.device_get(flags)
         resettled = bool(flags_np.get("count:slab", 0))
@@ -896,6 +907,12 @@ class ShardedEngine:
         self.shards, self.halo, self.nbr = ss, halo, nbr
         self._pending_rebuild = pending
         self._f_valid = True
+        # Neigh attribution for in-loop resettles (the caller books the
+        # span under Pair): scale by the measured warm resettle cost
+        n_rs_i = int(jax.device_get(n_rs))
+        cost = getattr(self, "_resettle_cost", None)
+        if n_rs_i > 0 and cost is not None:
+            self.timers.transfer("Pair", "Neigh", n_rs_i * cost)
 
     def run(self, nsteps: int, thermo_every: int = 0,
             on_thermo=None, callbacks=()):

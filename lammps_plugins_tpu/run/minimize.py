@@ -92,13 +92,17 @@ def minimize(engine, etol: float = 0.0, ftol: float = 1e-6,
             x, v, dt, alpha, npos, e_prev, done, crit = c
             pe, f = energy_force(x)
 
-            # convergence checks against the PREVIOUS iterate's energy
+            # convergence checks against the PREVIOUS iterate's energy.
+            # Denominator per LAMMPS Min::run: etol * (|e_prev| + |e| +
+            # EPS)/2 — the sum-of-magnitudes form cannot vanish for
+            # opposite-sign energies; etol is checked BEFORE ftol (Min::run
+            # order), so a step hitting both reports 'energy tolerance'.
             fnorm2 = jnp.sqrt(jnp.sum(f * f))
             e_ok = jnp.abs(e_prev - pe) <= (
-                etol * jnp.abs(e_prev + pe + EPS_ENERGY) * 0.5)
+                etol * (jnp.abs(e_prev) + jnp.abs(pe) + EPS_ENERGY) * 0.5)
             e_hit = jnp.logical_and(etol > 0.0, e_ok)
             f_hit = jnp.logical_and(ftol > 0.0, fnorm2 < ftol)
-            new_crit = jnp.where(f_hit, 2, jnp.where(e_hit, 1, 0))
+            new_crit = jnp.where(e_hit, 1, jnp.where(f_hit, 2, 0))
             crit = jnp.where(done == 0, new_crit, crit)
             done = jnp.maximum(done, new_crit)
 
@@ -150,21 +154,36 @@ def minimize(engine, etol: float = 0.0, ftol: float = 1e-6,
 
     it = 0
     crit_code = 0
+    fresh_list = True            # list was just built at the current x
     while it < maxiter:
         n = min(chunk, maxiter - it)
         if n != chunk:
             chunk = n
             chunk_jit = jax.jit(fire_chunk)
-        x, carry, maxdisp_sq = chunk_jit(x, engine.nbr, carry)
+        x_new, carry_new, maxdisp_sq = chunk_jit(x, engine.nbr, carry)
+        if float(maxdisp_sq) > half_skin_sq and not fresh_list:
+            # the chunk outran the half-skin list slack: its forces (and
+            # any converged/done decision inside it) used a stale list —
+            # discard and redo from a fresh build, exactly like the
+            # dynamics path (Engine.run mid-segment redo).  A fresh-list
+            # chunk that still trips is accepted and the next iteration
+            # rebuilds first (same guarantee level as Engine.run).
+            engine.state = engine.state.replace(x=x)
+            engine.rebuild_neighbors()
+            fresh_list = True
+            continue
+        x, carry = x_new, carry_new
         it += n
         done = int(carry[5])
         if done:
             crit_code = int(carry[6])
             break
+        fresh_list = False
         if float(maxdisp_sq) > half_skin_sq:
             engine.state = engine.state.replace(x=x)
             engine.rebuild_neighbors()
             x = engine.state.x
+            fresh_list = True
 
     engine.state = engine.state.replace(x=x, v=jnp.zeros_like(state.v))
     engine._f_valid = False

@@ -378,7 +378,7 @@ class Engine:
             halfd = jnp.sqrt(half2)
 
             def body(carry):
-                state, nbr, done, pending, flags, dprev = carry
+                state, nbr, done, pending, flags, dprev, n_rb = carry
 
                 def do_rb(s, n, f):
                     s2, n2, f2 = rebuild(s)
@@ -389,6 +389,9 @@ class Engine:
                 state, nbr, flags = jax.lax.cond(
                     pending, do_rb, lambda s, n, f: (s, n, f),
                     state, nbr, flags)
+                # in-loop rebuild counter: lets the host attribute span
+                # time to the Neigh section truthfully (log.rebomos:62-70)
+                n_rb = n_rb + pending.astype(jnp.int32)
 
                 def one(st, _):
                     return self._one_step(st, nbr), None
@@ -416,14 +419,15 @@ class Engine:
                 d = jnp.sqrt(md)
                 growth = jnp.maximum(d - dprev, 0.0)
                 pending = (d + growth > 0.95 * halfd) | tripped
-                return state, nbr, done, pending, flags, d
+                return state, nbr, done, pending, flags, d, n_rb
 
             carry = (state, nbr, jnp.zeros((), jnp.int32),
                      pending0, zero_flags,
-                     jnp.zeros((), self.state.x.dtype))
-            state, nbr, done, pending, flags, _ = jax.lax.while_loop(
+                     jnp.zeros((), self.state.x.dtype),
+                     jnp.zeros((), jnp.int32))
+            state, nbr, done, pending, flags, _, n_rb = jax.lax.while_loop(
                 lambda c: c[2] < nsteps, body, carry)
-            return state, nbr, pending, flags
+            return state, nbr, pending, flags, n_rb
 
         return jax.jit(loop, static_argnums=3)
 
@@ -434,7 +438,7 @@ class Engine:
             self._loop_jit = self._device_loop_fn()
         start_state, start_nbr = self.state, self.nbr
         start_pending = getattr(self, "_pending_rebuild", False)
-        state, nbr, pending, flags = self._loop_jit(
+        state, nbr, pending, flags, n_rb = self._loop_jit(
             self.state, self.nbr, jnp.asarray(start_pending), nsteps)
         flags_np = jax.device_get(flags)
         if any(bool(v) for k, v in flags_np.items() if "overflow" in k):
@@ -458,6 +462,13 @@ class Engine:
         self._x_build_np = None
         self._maxdisp_is_device = True
         self._pending_rebuild = pending    # device scalar; fetched lazily
+        # attribute in-loop rebuild time to Neigh (the caller books the
+        # whole fused span under Pair): count the rebuilds the loop ran
+        # and scale by the measured warm standalone rebuild cost
+        n_rb_i = int(jax.device_get(n_rb))
+        if n_rb_i > 0:
+            self.timers.transfer("Pair", "Neigh",
+                                 n_rb_i * self._rebuild_cost_estimate())
         if bool(flags_np.get("count:ghost", 0)) \
                 and not getattr(self, "_recovering", False):
             # at least one in-loop rebuild ran: apply the same K cap
@@ -472,6 +483,28 @@ class Engine:
                         self._loop_jit = None
                         self.rebuild_neighbors()
                         break
+
+    def _rebuild_cost_estimate(self) -> float:
+        """Warm per-rebuild device time (seconds), measured once.
+
+        Runs one standalone device_rebuild (already compiled by the
+        startup rebuild) with a blocking fetch; cached for the engine's
+        lifetime.  Used to split fused-span time between Pair and Neigh
+        — the reference prints this breakdown per section
+        (log.rebomos-bulk.1:62-70)."""
+        cost = getattr(self, "_rebuild_cost", None)
+        if cost is not None:
+            return cost
+        from ..neighbor import device_build
+        import time as _time
+        h, h_inv, lo = self._box_dev
+        t0 = _time.perf_counter()
+        out = device_build.device_rebuild(
+            self._plan, self.state.x, self.state.image, self.state.type,
+            h, h_inv, lo, self._cut_mats_dev)
+        jax.block_until_ready(out)
+        self._rebuild_cost = _time.perf_counter() - t0
+        return self._rebuild_cost
 
     def _ensure_neighbors(self):
         if self.nbr is None:

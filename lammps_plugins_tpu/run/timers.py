@@ -39,6 +39,13 @@ class Timers:
         finally:
             self.acc[name] = self.acc.get(name, 0.0) + time.perf_counter() - t0
 
+    def transfer(self, src: str, dst: str, seconds: float):
+        """Re-attribute time between sections (e.g. in-loop neighbor
+        rebuilds booked under a fused span's Pair time -> Neigh)."""
+        seconds = max(0.0, min(seconds, self.acc.get(src, 0.0)))
+        self.acc[src] = self.acc.get(src, 0.0) - seconds
+        self.acc[dst] = self.acc.get(dst, 0.0) + seconds
+
     def start_run(self, natoms: int, chips: int = 1):
         self._wall_start = time.perf_counter()
         self.natoms = natoms

@@ -182,6 +182,30 @@ def test_sharded_bfield_nvt_trajectory():
                           skin=1.0)
 
 
+def test_sharded_group_scoped_fix():
+    """Group-scoped fixes under the sharded engine: membership travels
+    with atoms through migration (Fix.group_sel via global tags) and the
+    trajectory matches the single-device group run — round-2 gap (the
+    old engine raised on any group_mask)."""
+    state = rebomos_bulk(nx=12, ny=8, nz=2, tilt_xy=0.0)
+    pair = REBOMoS.from_file(REBO_FILE, ["M", "S"])
+    state = velocity_create(state, units.METAL, 300.0, seed=21)
+    # mobile group: atoms in the left half of the box (by initial x);
+    # the rest are frozen (no integrator) — fix ID <group> nve semantics
+    gmask = np.asarray(state.x)[:, 0] < float(np.median(
+        np.asarray(state.x)[:, 0]))
+    # zero the frozen atoms' velocities so they truly stay put
+    v = np.array(state.v)
+    v[~gmask] = 0.0
+    state = state.replace(v=jnp.asarray(v, state.x.dtype))
+
+    _compare_trajectories(state, pair,
+                          [FixNVE(group_mask=gmask)],
+                          [FixNVE(group_mask=gmask)],
+                          nsteps=40, n_devices=4, check_every=10,
+                          atol=1e-9)
+
+
 def test_sharded_callbacks_and_fix_output():
     """Dump callbacks receive the gathered global State at the right
     steps, and fix outputs (compute_scalar/vector — the MPI_Allreduce'd

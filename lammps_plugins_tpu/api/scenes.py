@@ -35,6 +35,23 @@ def mos2_lattice(origin=(0.1, 0.1, 0.1)) -> Lattice:
                           MOS2_BASIS, origin=origin)
 
 
+def spatial_sort(pos: np.ndarray, types: np.ndarray, cell: float = 4.8):
+    """Order atoms by (z, y, x) spatial cells (stable).
+
+    Spatially local atom ids bound the column distance between an atom
+    and its short-range neighbors, which the windowed mirror-combine
+    (neighbor/device_build.py: RebuildPlan.mirror_window) converts into
+    small per-chunk gather operands.  The analogue of LAMMPS
+    `atom_modify sort` (on by default there, bin 0.0 -> neighbor cutoff).
+    """
+    mn = pos.min(axis=0)
+    c3 = ((pos - mn) / cell).astype(np.int64)
+    dims = c3.max(axis=0) + 1
+    key = (c3[:, 2] * dims[1] + c3[:, 1]) * dims[0] + c3[:, 0]
+    order = np.argsort(key, kind="stable")
+    return pos[order], types[order]
+
+
 def alsi_sample(nc: int = 20, si_fraction: float = 0.0075, seed: int = 7683797,
                 a: float = 4.045, dtype=jnp.float64):
     """The USER-AEAM/sample.in scene: nc^3-cell fcc Al box with a random
@@ -86,6 +103,7 @@ def rebomos_bulk_commensurate(nx: int = 34, ny: int = 48, nz: int = 10,
     h = box.h_np()
     f = pos @ np.linalg.inv(h)
     pos = (f - np.floor(f)) @ h
+    pos, types = spatial_sort(pos, types)
     mass = np.array([0.0, *MOS2_MASSES])
     return State.create(x=jnp.asarray(pos, dtype=dtype), type=types,
                         box=box, mass=mass, dtype=dtype)
@@ -129,6 +147,7 @@ def rebomos_monolayer(nx: int = 34, ny: int = 48, vacuum: float = 20.0,
     f = pos @ np.linalg.inv(h)
     pos = (f - np.floor(f)) @ h
     types = np.tile(np.asarray((1, 2, 2), np.int32), len(cells))
+    pos, types = spatial_sort(pos, types)
     mass = np.array([0.0, *MOS2_MASSES])
     return State.create(x=jnp.asarray(pos, dtype=dtype), type=types,
                         box=box, mass=mass, dtype=dtype)

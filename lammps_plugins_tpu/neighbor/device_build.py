@@ -110,6 +110,17 @@ class RebuildPlan:
     # 27-cell shell and the rsq filter recovers true neighbors, but cell
     # occupancy exploded ~30x and with it rebuild + LJ-kernel cost.)
     lo_ref: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Windowed mirror-combine geometry: W = mirror_window (columns per
+    # cyclic window, 0 = disabled), B = mirror_chunk (output columns per
+    # chunk).  The step-time mirror gather cliffs ~2x on operand physical
+    # size (probe_mirror17: tables <= ~190k rows of 512 B-tiled width-3
+    # rows ride a fast class); chunking the gather over per-chunk cyclic
+    # windows of the cotangent table keeps each operand under the cliff
+    # when the atom ordering is spatially local (scene generators emit
+    # cell-sorted atoms; the needed width is measured every rebuild as
+    # count:mirwin and overflow-flagged).
+    mirror_window: int = 0
+    mirror_chunk: int = 2048
     # Fractional (lattice-coordinate) coarse cells: the interior grid
     # tiles the primary prism EXACTLY with cell_dims-2 sheared cells per
     # dim (each of perpendicular width >= list_cut), so cell occupancy is
@@ -124,6 +135,37 @@ class RebuildPlan:
     cell_frac: bool = False
 
 
+def choose_mirror_window(n: int, w_needed: int,
+                         chunk: int = 2048) -> Tuple[int, int]:
+    """(mirror_window, mirror_chunk) policy from a measured needed width.
+
+    Windows only pay above the gather-class cliff (small tables already
+    ride the fast class) and only when the window is meaningfully
+    smaller than the full table.  Returns (0, chunk) to disable.
+    """
+    import os
+    flag = os.environ.get("LPT_MIRWIN")
+    # MEASURED DEAD END in-step, default OFF: standalone the chunked
+    # windowed gather beats the single 2M-index gather 1.8x
+    # (probe_mirror18: 6.9 vs 12.7 ms), but inside the fused step loop
+    # the ~4 ops/chunk x 48 chunks of slices/stacks/gathers pay per-op
+    # overheads that swamp the gather win (bench: 8.9e5 vs 3.19e6
+    # atom-steps/s at 98k atoms).  Kept flag-gated (LPT_MIRWIN=1|force)
+    # with CPU interpret-mode parity coverage, same standard as the
+    # other recorded mirror probes.
+    if flag not in ("1", "force"):
+        return 0, chunk
+    np_pad = -(-n // 128) * 128
+    if w_needed <= 0:
+        return 0, chunk
+    W = max(chunk * 2, -(-int(w_needed) // 512) * 512 + 512)
+    if flag == "force":
+        return min(W, np_pad), chunk
+    if n < 32768 or W > np_pad // 2:
+        return 0, chunk
+    return W, chunk
+
+
 def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
               ghost_count: int, max_cell_occupancy: int,
               k_counts: Dict[str, int], slack: float = 1.3,
@@ -131,7 +173,9 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
               cand_occupancy: int | None = None,
               mirror_tiers: Tuple[str, ...] = (),
               k_final: bool = False,
-              frac_cells: bool = True) -> RebuildPlan:
+              frac_cells: bool = True,
+              mirror_window: int = 0,
+              mirror_chunk: int = 2048) -> RebuildPlan:
     """Derive static geometry + padded capacities from measured counts.
 
     max_cell_occupancy is the coarse-grid occupancy; cand_occupancy the
@@ -253,7 +297,8 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         list_cut=list_cut, skin=skin,
         mirror_tiers=tuple(sorted(mirror_tiers)),
         cell_mn=cell_mn, a_range=a_range, cell_frac=cell_frac,
-        periodic=tuple(bool(p) for p in box.periodic))
+        periodic=tuple(bool(p) for p in box.periodic),
+        mirror_window=int(mirror_window), mirror_chunk=int(mirror_chunk))
 
 
 def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
@@ -648,6 +693,38 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
                     mirT=_padT(jnp.where(
                         mir_ok, (mir_safe % K) * Np + mir_safe // K, 0), 0),
                     mirvT=_padT(mir_ok, False))
+                # windowed mirror-combine tables: the needed cyclic window
+                # width is measured every rebuild (count:mirwin); when the
+                # plan carries a window cap, emit localized indices so the
+                # step gathers from per-chunk sub-tables under the
+                # gather-class cliff (see RebuildPlan.mirror_window)
+                B = plan.mirror_chunk
+                t_slot = mir_safe % K            # [N, K] mirror slot
+                m_col = mir_safe // K            # [N, K] mirror atom column
+                ci_of = (jnp.arange(n, dtype=jnp.int32) // B)[:, None]
+                half = Np // 2
+                sd = jnp.mod(m_col - ci_of * B + half, Np) - half
+                margin_e = jnp.maximum(
+                    jnp.maximum(-sd, sd - (B - 1)), 0)
+                margin_max = jnp.max(jnp.where(mir_ok, margin_e, 0))
+                flags[f"count:mirwin:{name}"] = (
+                    B + 2 * margin_max).astype(jnp.int32)
+                W = plan.mirror_window
+                if W > 0:
+                    nch = -(-Np // B)
+                    marg = (W - B) // 2
+                    w0 = jnp.mod(
+                        jnp.arange(nch, dtype=jnp.int32) * B - marg, Np)
+                    off = jnp.mod(m_col - w0[ci_of[:, 0]][:, None], Np)
+                    fits = off < W
+                    loc = jnp.where(mir_ok & fits,
+                                    t_slot * W + off, K * W)
+                    flags[f"mirwin_overflow:{name}"] = jnp.any(
+                        mir_ok & ~fits)
+                    tkw["mirW"] = _padT(loc, K * W)
+                    tkw["win0"] = w0
+                    tkw["mirwin"] = W
+                    tkw["mirchunk"] = B
             lists[name] = NeighborList(idx=idx, mask=mask, jtype=jtype,
                                        mirror=mirror, **tkw)
             kmax = jnp.max(kmax_s)

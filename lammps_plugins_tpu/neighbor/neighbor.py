@@ -98,8 +98,19 @@ class NeighborList:
     jtypeT: jnp.ndarray | None = None  # [K, Np] int32
     mirT: jnp.ndarray | None = None    # [K, Np] int32, flat k'*Np + j
     mirvT: jnp.ndarray | None = None   # [K, Np] bool
+    #: windowed mirror tables (see device_build): localized flat index
+    #: t*W + cyclic_offset into a per-chunk [K*W(+1 sentinel)] window of
+    #: the cotangent table; sentinel K*W for invalid edges.  Lets the
+    #: combine gather ride the small-table class (~2x per index;
+    #: probe_mirror17: the gather cost cliffs on operand physical size).
+    mirW: jnp.ndarray | None = None    # [K, Np] int32 localized indices
+    win0: jnp.ndarray | None = None    # [nch] int32 window starts (cyclic)
+    #: static window geometry (aux data, compile-time constants)
+    mirwin: int | None = None          # W: window width in columns
+    mirchunk: int | None = None        # B: output chunk width
 
-    _OPT = ("jtype", "mirror", "idxT", "maskT", "jtypeT", "mirT", "mirvT")
+    _OPT = ("jtype", "mirror", "idxT", "maskT", "jtypeT", "mirT", "mirvT",
+            "mirW", "win0")
 
     def tree_flatten(self):
         children = [self.idx, self.mask]
@@ -107,12 +118,14 @@ class NeighborList:
         for f, have in zip(self._OPT, flags):
             if have:
                 children.append(getattr(self, f))
-        return tuple(children), flags
+        return tuple(children), (flags, self.mirwin, self.mirchunk)
 
     @classmethod
-    def tree_unflatten(cls, flags, children):
+    def tree_unflatten(cls, aux, children):
+        flags, mirwin, mirchunk = aux
         it = iter(children)
-        kw = {"idx": next(it), "mask": next(it)}
+        kw = {"idx": next(it), "mask": next(it),
+              "mirwin": mirwin, "mirchunk": mirchunk}
         for f, have in zip(cls._OPT, flags):
             kw[f] = next(it) if have else None
         return cls(**kw)

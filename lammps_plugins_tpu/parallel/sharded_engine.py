@@ -516,6 +516,13 @@ class ShardedEngine:
         if any(k.startswith("k_overflow") for k in bad):
             k_counts = {k: -(-int(v * grow) // 16) * 16
                         for k, v in k_counts.items()}
+        w_needed = max([int(v) for k, v in flags_np.items()
+                        if k.startswith("count:mirwin:")] or [0])
+        if any(k.startswith("mirwin_overflow") and bool(v)
+               for k, v in flags_np.items()):
+            w_needed = int(w_needed * grow)
+        mir_w, mir_b = device_build.choose_mirror_window(
+            self.n_cap, w_needed)
         self._plan = device_build.make_plan(
             self.slab_box, requests, self.skin,
             int(flags_np["count:ghost"] * grow) + 8,
@@ -523,7 +530,8 @@ class ShardedEngine:
             k_counts, slack=grow, k_final=True,
             cell_tiers=getattr(self.pair, "cell_tiers", ()),
             mirror_tiers=getattr(self.pair, "mirror_tiers", ()),
-            cand_occupancy=int(flags_np.get("count:candcell", 4) * grow) + 4)
+            cand_occupancy=int(flags_np.get("count:candcell", 4) * grow) + 4,
+            mirror_window=mir_w, mirror_chunk=mir_b)
         # slab/halo growth (capacity changes require repacking the shards)
         old_ncap = self.n_cap
         if "mig_overflow" in bad or int(flags_np["count:slab"]) > self.n_cap:

@@ -28,6 +28,8 @@ master list; the LJ term is O(N*K_master).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -353,7 +355,6 @@ class REBOMoS(PairStyle):
         interpret mode — the CPU-testable escape hatch that lets the
         suite exercise the production kernel dispatch, incl. inside
         shard_map)."""
-        import os
         flag = os.environ.get("LPT_PALLAS")
         if flag is not None:
             return flag not in ("0", "off")
@@ -362,7 +363,6 @@ class REBOMoS(PairStyle):
 
     @staticmethod
     def _pallas_interpret() -> bool:
-        import os
         return os.environ.get("LPT_PALLAS") == "interpret"
 
     @classmethod
@@ -401,7 +401,6 @@ class REBOMoS(PairStyle):
         B-side pencils multiply output DMA ~13x, 46.6 vs 36.3 ms/step at
         98k atoms).  Only the cell-table -> atom remap runs outside the
         kernel — a row gather via the rebuild-time inverse slot table."""
-        import os
         from ..ops import lj_cells_pallas as ljp
         n = x.shape[0]
         P, table = self._cell_planes(x, ghosts, cells, h)
@@ -518,21 +517,42 @@ class REBOMoS(PairStyle):
         eiT = jnp.pad(el_own.astype(dtype).reshape(1, N),
                       ((0, 7), (0, Np - N)))
 
-        # Displacements via ONE row gather in transposed edge order
-        # ([M,3] source rows; per-component element gathers from 1-D
-        # columns get flattened to a {0:T(1024)} scalar path by XLA —
-        # measured 22 ms each vs ~6 ms for the row form).  The center
-        # positions enter as 2-D [3, Np] row slices: 1-D [Np] columns get
-        # a T(1024) layout whose broadcast against [K, Np] cost ~1.6 ms
-        # of relayout copy per component per step (profiled).
+        # Displacements via ONE transposed-OUTPUT row gather: out[c, e] =
+        # x_all[idx[e], c] (offset_dims=(0,)).  Same fast row-gather class
+        # as x_all[idx] (probe_mirror18: 6.6 vs 6.4 ms standalone at 2M
+        # indices) but the output IS the [3, K, Np] plane layout the
+        # kernel consumes — the row-form gather needed a [K, Np, 3] ->
+        # planes relayout copy (1.33 ms/step at 98k atoms, profiled).
+        # Per-component element gathers from 1-D columns are worse still
+        # (flattened to a {0:T(1024)} scalar path, ~22 ms each).  The
+        # center positions enter as 2-D [3, Np] row slices: 1-D [Np]
+        # columns get a T(1024) layout whose broadcast against [K, Np]
+        # cost ~1.6 ms of relayout copy per component per step (profiled).
         x_all = ghosts.all_positions(x, h)
-        rows = x_all[idxT.reshape(-1)].reshape(K, Np, 3)
         xT = jnp.pad(jnp.swapaxes(x, 0, 1), ((0, 0), (0, Np - N)))
-        dxT = rows[..., 0] - xT[0:1, :]
-        dyT = rows[..., 1] - xT[1:2, :]
-        dzT = rows[..., 2] - xT[2:3, :]
+        # LPT_DGT=t: transposed-OUTPUT displacement gather (planes
+        # directly, no [K, Np, 3] -> planes relayout).  MEASURED DEAD END
+        # in-step: standalone it matches the row gather (probe_mirror18)
+        # and saves the 1.33 ms relayout, but the fused loop runs 26%
+        # slower overall (2.30e6 vs 3.11e6 at-st/s) — in-loop, XLA fuses
+        # the row gather + relayout with its neighbors better than the
+        # standalone transposed gather.  Default stays on the row form.
+        if os.environ.get("LPT_DGT") == "t":
+            g3 = jax.lax.gather(
+                x_all, idxT.reshape(-1, 1),
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(0,), collapsed_slice_dims=(0,),
+                    start_index_map=(0,)),
+                slice_sizes=(1, 3), mode="clip").reshape(3, K, Np)
+            dxT = g3[0] - xT[0:1, :]
+            dyT = g3[1] - xT[1:2, :]
+            dzT = g3[2] - xT[2:3, :]
+        else:
+            rows = x_all[idxT.reshape(-1)].reshape(K, Np, 3)
+            dxT = rows[..., 0] - xT[0:1, :]
+            dyT = rows[..., 1] - xT[1:2, :]
+            dzT = rows[..., 2] - xT[2:3, :]
 
-        import os
         consts_key = tuple(sorted(self._rebo_consts.items()))
         mir_mode = os.environ.get("LPT_MIR", "")
         if mir_mode == "pk":
@@ -625,6 +645,10 @@ class REBOMoS(PairStyle):
             gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
                                     consts_key=consts_key,
                                     interpret=interpret)
+            if rebo.mirW is not None:
+                # windowed combine: per-chunk gathers from cyclic
+                # sub-tables under the gather-class cliff
+                return self._mirror_combine_windowed(gx, gy, gz, rebo, N)
             # Default: edge-order table + clamped gather + validity
             # multiply (the committed 8.4 ms/step form at 98k atoms).
             grows = jnp.stack([gx, gy, gz], axis=-1).reshape(K * Np, 3)
@@ -633,6 +657,50 @@ class REBOMoS(PairStyle):
         fsum = jnp.sum(jnp.stack([gx, gy, gz], axis=-1), axis=0) \
             - jnp.sum(gmir, axis=0)                     # [Np, 3]
         return fsum[:N]
+
+    @staticmethod
+    def _mirror_combine_windowed(gx, gy, gz, rebo, N):
+        """Chunked mirror combine over cyclic windows.
+
+        The single-gather combine reads a [K*Np, 3] table whose physical
+        size (512 B/row tiles) sits far above the TPU gather emitter's
+        fast-class threshold (probe_mirror17: ~2x per-index cliff at
+        ~190k rows).  With spatially-sorted atoms, every mirror partner
+        of output chunk c lies within a cyclic column window measured at
+        rebuild; gathering each chunk from its own [K*W(+1), 3] window
+        (built by dynamic-slicing the cyclically padded planes) keeps
+        every operand under the cliff (probe_mirror18: 6.9 vs 12.7 ms at
+        2M indices).  Invalid edges carry the sentinel index K*W, which
+        lands on the appended zero row — no validity multiply."""
+        K, Np = gx.shape
+        W = rebo.mirwin
+        B = rebo.mirchunk
+        nch = rebo.win0.shape[0]
+        dtype = gx.dtype
+        # cyclic pad: window [w0, w0+W) with w0 < Np always in range
+        gxp = jnp.concatenate([gx, gx[:, :W]], axis=1)
+        gyp = jnp.concatenate([gy, gy[:, :W]], axis=1)
+        gzp = jnp.concatenate([gz, gz[:, :W]], axis=1)
+        zrow = jnp.zeros((1, 3), dtype) + 0.0 * gx[0, 0]
+        parts = []
+        for ci in range(nch):
+            c0 = ci * B
+            Bc = min(B, Np - c0)
+            w0 = rebo.win0[ci]
+            z0 = jnp.zeros((), w0.dtype)
+            wa = jax.lax.dynamic_slice(gxp, (z0, w0), (K, W))
+            wb = jax.lax.dynamic_slice(gyp, (z0, w0), (K, W))
+            wc = jax.lax.dynamic_slice(gzp, (z0, w0), (K, W))
+            tab = jnp.concatenate(
+                [jnp.stack([wa, wb, wc], -1).reshape(K * W, 3), zrow],
+                axis=0)
+            gm = tab[jax.lax.slice_in_dim(rebo.mirW, c0, c0 + Bc, axis=1)
+                     .reshape(-1)].reshape(K, Bc, 3)
+            own = jnp.stack(
+                [jax.lax.slice_in_dim(g, c0, c0 + Bc, axis=1)
+                 for g in (gx, gy, gz)], axis=-1)       # [K, Bc, 3]
+            parts.append(jnp.sum(own - gm, axis=0))     # [Bc, 3]
+        return jnp.concatenate(parts, axis=0)[:N]
 
     def _fpair_lj(self, ei, ej, r, rsq):
         """-(dV/dr)/r for the switched LJ (pair_rebomos.cpp:518-543):

@@ -230,6 +230,13 @@ class Engine:
                       if k.startswith("count:k:")}
             loose = any(dict(self._plan.k_caps)[name] > 1.6 * max(v, 8)
                         for name, v in want_k.items())
+            # also retrace once if a windowed mirror combine is available
+            # but the initial plan carries no window cap
+            w_needed = max([int(v) for k, v in flags_np.items()
+                            if k.startswith("count:mirwin:")] or [0])
+            want_w = device_build.choose_mirror_window(
+                self.state.natoms, w_needed)[0]
+            loose = loose or (want_w and not self._plan.mirror_window)
             if loose:
                 # 1.3 not 1.15: hot systems (e.g. 863 K sample.in) grow
                 # kmax after equilibration and every overflow re-size is a
@@ -289,13 +296,23 @@ class Engine:
             k_counts[k.split(":", 2)[2]] = _quantize_k(target)
         cand_occ = (int(flags_np["count:candcell"])
                     if "count:candcell" in flags_np else None)
+        # windowed mirror combine: size the cyclic window cap from the
+        # measured needed width (grow on mirwin overflow recovery)
+        w_needed = max([int(v) for k, v in flags_np.items()
+                        if k.startswith("count:mirwin:")] or [0])
+        if grow > 1.0 and any(k.startswith("mirwin_overflow")
+                              and bool(v) for k, v in flags_np.items()):
+            w_needed = int(w_needed * grow)
+        mir_w, mir_b = device_build.choose_mirror_window(
+            self.state.natoms, w_needed)
         self._plan = device_build.make_plan(
             self.state.box, requests, self.skin,
             int(flags_np["count:ghost"]), int(flags_np["count:cell"]),
             k_counts, slack=grow, k_final=True,
             cell_tiers=getattr(self.pair, "cell_tiers", ()),
             mirror_tiers=getattr(self.pair, "mirror_tiers", ()),
-            cand_occupancy=cand_occ)
+            cand_occupancy=cand_occ,
+            mirror_window=mir_w, mirror_chunk=mir_b)
         self._seg_jit = None       # shapes change -> retrace
         self._loop_jit = None
 

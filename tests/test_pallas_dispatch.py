@@ -98,3 +98,38 @@ def test_interpret_engine_step(eng, monkeypatch):
     np.testing.assert_allclose(x_int, x_ref, atol=1e-5)
     vs = np.abs(v_ref).max()
     np.testing.assert_allclose(v_int, v_ref, atol=3e-4 * max(vs, 1e-3))
+
+
+def test_windowed_mirror_combine_matches_default(monkeypatch):
+    """LPT_MIRWIN=force builds windowed mirror tables (localized cyclic
+    per-chunk gather operands, device_build.RebuildPlan.mirror_window);
+    forces through the windowed combine must match the default
+    single-gather combine exactly (same G values, same edges)."""
+    state = rebomos_bulk_commensurate(nx=4, ny=6, nz=2, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    x = np.asarray(state.x) + rng.uniform(-0.05, 0.05, state.x.shape)
+    state = state.replace(x=jnp.asarray(x, jnp.float32))
+    pair = REBOMoS.from_file(REBO_FILE, ["M", "S"], dtype=jnp.float32)
+
+    monkeypatch.setenv("LPT_PALLAS", "interpret")
+
+    def forces(mirwin_env):
+        monkeypatch.setenv("LPT_MIRWIN", mirwin_env)
+        e = Engine(state, pair, [FixNVE()], units.METAL,
+                   device_rebuild=True)
+        e.rebuild_neighbors()
+        rebo = e.nbr.lists["rebo"]
+        if mirwin_env == "force":
+            # the tighten pass must have enabled windowed tables
+            assert rebo.mirW is not None and rebo.mirwin > 0
+            assert rebo.win0 is not None
+        else:
+            assert rebo.mirW is None
+        return np.asarray(pair.forces(e.state.x, e.state.type, e.nbr,
+                                      e.state.box.h))
+
+    f_def = forces("0")
+    f_win = forces("force")
+    scale = np.abs(f_def).max()
+    assert scale > 1e-3
+    np.testing.assert_allclose(f_win, f_def, atol=1e-6 * scale)

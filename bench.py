@@ -31,6 +31,66 @@ def _watchdog(seconds):
         os._exit(0)
 
 
+_F64_SNIPPET = r"""
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np, jax.numpy as jnp
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from lammps_plugins_tpu.api.scenes import rebomos_bulk
+from lammps_plugins_tpu.potentials.rebomos import REBOMoS
+from lammps_plugins_tpu.neighbor.build import build_neighbor_data
+state = rebomos_bulk(dtype=jnp.float64)
+pair = REBOMoS.from_file(
+    "/root/reference/USER-REBOMOS/MoS.REBO.set5b", ["M", "S"],
+    dtype=jnp.float64)
+nbr = build_neighbor_data(np.asarray(state.x), np.asarray(state.type),
+                          state.box, pair.neighbor_requests(), skin=1.0,
+                          dtype=jnp.float64)
+f = np.asarray(pair.forces(state.x, state.type, nbr, state.box.h))
+json.dump(f.tolist(), open(sys.argv[1], "w"))
+"""
+
+
+def _f32_force_error() -> float:
+    """max |F_f32_TPU - F_f64_CPU| on the 288-atom golden scene.
+
+    The f64 reference runs in a CPU subprocess (x64 cannot be enabled
+    mid-process); this process evaluates the same scene through the
+    production f32 TPU path (device rebuild + Pallas dispatch)."""
+    import subprocess
+    import tempfile
+    import numpy as np
+    import jax.numpy as jnp
+    from lammps_plugins_tpu.api.scenes import rebomos_bulk
+    from lammps_plugins_tpu.core import units
+    from lammps_plugins_tpu.fixes.nve import FixNVE
+    from lammps_plugins_tpu.potentials.rebomos import REBOMoS
+    from lammps_plugins_tpu.run.simulation import Engine
+
+    with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
+        script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "_bench_f64_ref.py")
+        with open(script, "w") as fh:
+            fh.write(_F64_SNIPPET)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        subprocess.run([sys.executable, script, tmp.name], check=True,
+                       env=env, timeout=900,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+        f64 = np.asarray(json.load(open(tmp.name)))
+    state = rebomos_bulk(dtype=jnp.float32)
+    pair = REBOMoS.from_file(
+        "/root/reference/USER-REBOMOS/MoS.REBO.set5b", ["M", "S"],
+        dtype=jnp.float32)
+    eng = Engine(state, pair, [FixNVE()], units.METAL, device_rebuild=True)
+    eng.rebuild_neighbors()
+    f32 = np.asarray(pair.forces(eng.state.x, eng.state.type, eng.nbr,
+                                 eng.state.box.h))
+    return float(np.abs(f32 - f64).max())
+
+
 def main():
     global _done
     nx = int(os.environ.get("BENCH_NX", 34))
@@ -109,6 +169,20 @@ def main():
     print(f"# first segment (compile): {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
 
+    # f32 accuracy evidence (BASELINE's <=1e-6 energy bar is demonstrated
+    # in f64 by the golden tests; this quantifies the production dtype):
+    # total-energy drift across the timed reps (NVE: drift bounds the f32
+    # force/integration error accumulation) ...
+    def etotal():
+        pe, _ = eng.evaluate()
+        v = jnp.asarray(eng.state.v)
+        m = eng.state.per_atom_mass
+        ke = 0.5 * units.METAL.mvv2e * float(
+            jnp.sum(m[:, None] * v * v))
+        return float(pe) + ke
+
+    e_start = etotal()
+
     best = 0.0
     for _ in range(reps):
         t0 = time.time()
@@ -119,13 +193,34 @@ def main():
         print(f"# {steps} steps in {dt:.3f}s -> {rate:.3e} atom-steps/s",
               file=sys.stderr, flush=True)
 
+    # headline value is final from here on: a watchdog exit during the
+    # accuracy evidence below still reports it
+    RESULT["value"] = round(best, 1)
+    RESULT["vs_baseline"] = round(best / BASELINE, 2)
+
+    e_end = etotal()
+    drift = abs(e_end - e_start) / (reps * steps) / natoms
+    RESULT["f32_etotal_drift_ev_per_step_atom"] = float(f"{drift:.3g}")
+    print(f"# f32 NVE |dE_total| drift: {drift:.3e} eV/step/atom "
+          f"(E {e_start:.6f} -> {e_end:.6f} over {reps*steps} steps)",
+          file=sys.stderr, flush=True)
+
+    # ... and the f32-vs-f64 force error on the 288-atom golden scene
+    # (f64 reference computed by a CPU subprocess; this process runs the
+    # same scene f32 on the TPU path)
+    try:
+        RESULT["f32_max_force_err"] = round(_f32_force_error(), 10)
+        print(f"# f32 vs f64 max |dF|: {RESULT['f32_max_force_err']:.3e} "
+              f"eV/A (288-atom golden scene)", file=sys.stderr, flush=True)
+    except Exception as e:                                # noqa: BLE001
+        print(f"# f32 force check skipped: {e}", file=sys.stderr,
+              flush=True)
+
     secs = dict(eng.timers.acc)
     tot = sum(secs.values()) or 1.0
     print("# timers: " + ", ".join(
         f"{k}={v:.2f}s ({100*v/tot:.0f}%)" for k, v in secs.items()),
         file=sys.stderr, flush=True)
-    RESULT["value"] = round(best, 1)
-    RESULT["vs_baseline"] = round(best / BASELINE, 2)
     _done = True
     print(json.dumps(RESULT), flush=True)
 

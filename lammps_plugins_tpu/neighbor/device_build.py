@@ -564,13 +564,22 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
             + nbr3[..., 2]
         ncid = jnp.where(in_rng, ncid, ncf + 1)      # oob row
         W = 27 * Cf
-        # two-step candidate assembly: small per-cell planes (element
-        # gathers over ~ncf*Cf) then [n, 27] row gathers of Cf-wide rows.
-        # Direct by-atom-id element gathers of the [n, W] candidates get
-        # flattened to a ~17 ns/elem scalar path by XLA (~2.7 s); a packed
-        # [.., 5]-column row gather tile-pads 8.5x and OOMs HBM.
-        tf = t_pad[dense_f]                          # [ncf+2, Cf]
-        planes = [x_pad[:, a][dense_f] for a in range(3)]
+        # two-step candidate assembly: small per-cell planes then [n, 27]
+        # row gathers of Cf-wide rows.  Direct by-atom-id element gathers
+        # of the [n, W] candidates get flattened to a ~17 ns/elem scalar
+        # path by XLA (~2.7 s); a packed [.., 5]-column row gather
+        # tile-pads 8.5x and OOMs HBM.  The per-cell planes themselves
+        # come from ONE [m, 4] row gather (x, y, z, type packed): the
+        # previous per-component x_pad[:, a][dense_f] forms were 1-D-
+        # source element gathers — the slow scalar-path class, profiled
+        # 11.5 ms EACH per rebuild at 98k atoms (plus 8.6 ms for the
+        # type gather); the row form + component extraction is ~3 ms
+        # total.
+        xt_pad = jnp.concatenate(
+            [x_pad, t_pad.astype(dtype)[:, None]], axis=1)   # [m+1, 4]
+        tmp4 = xt_pad[dense_f]                       # [ncf+2, Cf, 4]
+        tf = tmp4[..., 3].astype(jnp.int32)          # [ncf+2, Cf]
+        planes = [tmp4[..., a] for a in range(3)]
 
         # ghost shift slots for the mirror-edge table (slot 0 = identity)
         sidx_ghost = (sel_safe // n).astype(jnp.int32) + 1

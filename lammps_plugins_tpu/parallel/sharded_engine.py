@@ -4,11 +4,15 @@ The TPU-native equivalent of LAMMPS's MPI domain decomposition + Comm
 (SURVEY.md sections 2.4/5.8), built so every shard reuses the SINGLE-CHIP
 machinery wholesale:
 
-  * Each device owns one x-slab.  Its local atom block is
-    [owned (n_cap) | left halo (Bh) | right halo (Bh)] — halo atoms are
-    copies of boundary atoms from the adjacent slabs, refreshed every step
-    by two `lax.ppermute`s over ICI (the analogue of forward position
-    communication).
+  * Each device owns one domain of a (Px, Py) processor grid (default
+    x-slabs; the LAMMPS `processors` analogue — the reference's 4-rank
+    golden run used a 2x2x1 grid, log.rebomos-bulk.4:22).  The local atom
+    block is [owned (n_cap) | x halos (2*Bhx) | y halos (2*Bhy)] — halo
+    atoms are copies of boundary atoms from adjacent domains, refreshed
+    every step by `lax.ppermute`s over ICI (the analogue of forward
+    position communication).  2-D grids exchange in two stages (x, then
+    y over the [owned | x-halo] block), so corner halos need no extra
+    diagonal communication.
   * Neighbor lists, cell tables and mirror tables are built PER SHARD by
     the same jitted `device_rebuild` used single-chip, on a "slab box":
     the global cell sliced along x (non-periodic, the halo margin baked
@@ -90,18 +94,26 @@ class HaloTables:
     neighbor (they become its left/right halo).  t_loc/valid_loc describe
     the [owned | left halo | right halo] local block."""
 
-    exp_r: jnp.ndarray        # [Pn, Bh] int32 slots
-    exp_l: jnp.ndarray        # [Pn, Bh]
-    val_hl: jnp.ndarray       # [Pn, Bh] validity of my LEFT halo rows
-    val_hr: jnp.ndarray       # [Pn, Bh]
+    exp_r: jnp.ndarray        # [Pn, Bhx] int32 slots (x stage, owned block)
+    exp_l: jnp.ndarray        # [Pn, Bhx]
+    val_hl: jnp.ndarray       # [Pn, Bhx] validity of my LEFT halo rows
+    val_hr: jnp.ndarray       # [Pn, Bhx]
     t_loc: jnp.ndarray        # [Pn, n_loc] types of the local block
     valid_loc: jnp.ndarray    # [Pn, n_loc]
     q_loc: jnp.ndarray        # [Pn, n_loc] charges of the local block
                               # (static between rebuilds, like types)
+    #: y-stage halo tables (2-D decomposition; [Pn, 0] when Py == 1).
+    #: exp_u/exp_d index the [owned | x-halo] block, so corner halos
+    #: arrive through the standard two-stage exchange.
+    exp_u: jnp.ndarray = None  # [Pn, Bhy]
+    exp_d: jnp.ndarray = None  # [Pn, Bhy]
+    val_hd: jnp.ndarray = None
+    val_hu: jnp.ndarray = None
 
     def tree_flatten(self):
         return ((self.exp_r, self.exp_l, self.val_hl, self.val_hr,
-                 self.t_loc, self.valid_loc, self.q_loc), None)
+                 self.t_loc, self.valid_loc, self.q_loc,
+                 self.exp_u, self.exp_d, self.val_hd, self.val_hu), None)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -163,7 +175,13 @@ class ShardedEngine:
     def __init__(self, state: State, pair: PairStyle, fixes: Sequence[Fix],
                  units: UnitSystem, n_devices: int | None = None,
                  dt: float | None = None, skin: float | None = None,
-                 check_every: int = 10, slack: float = 1.4):
+                 check_every: int = 10, slack: float = 1.4,
+                 grid: "tuple[int, int] | None" = None):
+        """grid: (Px, Py) processor grid (the LAMMPS `processors` analogue;
+        the reference's own 4-rank golden run used a 2x2x1 grid,
+        log.rebomos-bulk.4:22).  Default (n_devices, 1) = x slabs; Py > 1
+        splits y too, lifting the slab-width floor on compact boxes.
+        Devices are laid out row-major: d = dx * Py + dy."""
         self.pair = pair.for_sharded()
         self.fixes = list(fixes)
         self.units = units
@@ -172,6 +190,13 @@ class ShardedEngine:
         self.slack = slack
         devices = jax.devices()
         Pn = n_devices or len(devices)
+        if grid is None:
+            grid = (Pn, 1)
+        if grid[0] * grid[1] != Pn:
+            raise ValueError(f"grid {grid} does not tile {Pn} devices")
+        if grid[0] < 1 or grid[1] < 1 or (grid[0] == 1 and grid[1] == 1):
+            raise ValueError(f"invalid processor grid {grid}")
+        self.grid = (int(grid[0]), int(grid[1]))
         if Pn < 2:
             raise ValueError("ShardedEngine needs >= 2 devices; "
                              "use run.simulation.Engine single-device")
@@ -216,27 +241,36 @@ class ShardedEngine:
         h = box.h_np()
         lo = box.lo_np()
         widths = box.perpendicular_widths_np()
-        Pn = self.n_devices
-        if not box.periodic[0]:
-            raise ValueError("slab decomposition requires periodic x")
+        Px, Py = self.grid
         margin = self.pair.ghost_margin(self.skin)
-        self.margin_frac = margin / widths[0]
-        slab_w = widths[0] / Pn
-        if slab_w < margin:
-            raise ValueError(
-                f"slab width {slab_w:.2f} A < halo margin {margin:.2f} A: "
-                f"box too small in x for {Pn}-way decomposition")
-        # slab box: x-slice of the global cell, halo margins baked in,
-        # non-periodic x (halos are explicit atoms), periodic y/z
+        mfs = [0.0, 0.0]
         hs = h.copy()
-        hs[0] = h[0] * (1.0 / Pn + 2.0 * self.margin_frac)
+        for ax, P in ((0, Px), (1, Py)):
+            if P <= 1:
+                continue
+            if not box.periodic[ax]:
+                raise ValueError(
+                    f"slab decomposition requires periodic axis {ax}")
+            mfs[ax] = margin / widths[ax]
+            slab_w = widths[ax] / P
+            if slab_w < margin:
+                raise ValueError(
+                    f"slab width {slab_w:.2f} A < halo margin "
+                    f"{margin:.2f} A: box too small in axis {ax} for "
+                    f"{P}-way decomposition")
+            # slab box: slice of the global cell along this axis, halo
+            # margins baked in, non-periodic (halos are explicit atoms)
+            hs[ax] = h[ax] * (1.0 / P + 2.0 * mfs[ax])
+        self.margin_frac = tuple(mfs)
         self.slab_box = Box(
             h=jnp.asarray(hs, self.dtype),
             lo=jnp.asarray(lo, self.dtype),
-            periodic=(False, box.periodic[1], box.periodic[2]),
+            periodic=(Px == 1 and box.periodic[0],
+                      Py == 1 and box.periodic[1], box.periodic[2]),
             h64=Box._master(hs), lo64=Box._master(lo))
-        los = np.stack([lo + (d / Pn - self.margin_frac) * h[0]
-                        for d in range(Pn)])
+        los = np.stack([
+            lo + (dx / Px - mfs[0]) * h[0] + (dy / Py - mfs[1]) * h[1]
+            for dx in range(Px) for dy in range(Py)])
         self._lo_shards = jnp.asarray(los, self.dtype)       # [Pn, 3]
         self._h_glob = jnp.asarray(h, self.dtype)
         self._hinv_glob = jnp.asarray(np.linalg.inv(h), self.dtype)
@@ -244,29 +278,71 @@ class ShardedEngine:
         self._h_slab = jnp.asarray(hs, self.dtype)
         self._hinv_slab = jnp.asarray(np.linalg.inv(hs), self.dtype)
         self._arow = jnp.asarray(h[0], self.dtype)           # global a vector
+        self._brow = jnp.asarray(h[1], self.dtype)           # global b vector
+
+    def _perms(self):
+        """Flattened-axis permutations for the (Px, Py) grid: x-forward,
+        x-backward, y-forward (up), y-backward (down)."""
+        Px, Py = self.grid
+
+        def flat(ix, iy):
+            return ix * Py + iy
+
+        ids = [(ix, iy) for ix in range(Px) for iy in range(Py)]
+        perm_xr = [(flat(ix, iy), flat((ix + 1) % Px, iy)) for ix, iy in ids]
+        perm_xl = [(flat(ix, iy), flat((ix - 1) % Px, iy)) for ix, iy in ids]
+        perm_yu = [(flat(ix, iy), flat(ix, (iy + 1) % Py)) for ix, iy in ids]
+        perm_yd = [(flat(ix, iy), flat(ix, (iy - 1) % Py)) for ix, iy in ids]
+        return perm_xr, perm_xl, perm_yu, perm_yd
 
     def _pack_initial(self, state: State):
         Pn = self.n_devices
+        Px, Py = self.grid
         x_np, image_np = state.box.wrap_np(np.asarray(state.x),
                                            np.asarray(state.image))
         h = state.box.h_np()
         lo = state.box.lo_np()
         frac = (x_np - lo) @ np.linalg.inv(h)
         N = self.natoms
-        slab_of = np.clip((frac[:, 0] * Pn).astype(np.int64), 0, Pn - 1)
+        sxf = frac[:, 0] * Px
+        syf = frac[:, 1] * Py
+        sx = np.clip(sxf.astype(np.int64), 0, Px - 1)
+        sy = np.clip(syf.astype(np.int64), 0, Py - 1)
+        slab_of = sx * Py + sy
         counts = np.bincount(slab_of, minlength=Pn)
         n_cap = int(-(-int(counts.max() * self.slack) // 8) * 8)
         self.n_cap = max(getattr(self, "n_cap", 0), n_cap, 8)
-        # halo capacity from the measured per-boundary population
-        m = self.margin_frac
-        hcounts = []
-        for d in range(Pn):
-            sl = frac[:, 0] * Pn - d
-            hcounts.append(((sl >= 0) & (sl <= m * Pn)).sum())
-            hcounts.append(((sl >= 1 - m * Pn) & (sl <= 1)).sum())
-        self.Bh = max(8, int(-(-int(max(hcounts) * self.slack) // 8) * 8))
+        # halo capacities from the measured per-boundary populations:
+        # x stage exports owned boundary bands; y stage exports bands of
+        # the [owned | x-halo] block (margin-expanded x range)
+        mfx, mfy = self.margin_frac
+        hx, hy = [0], [0]
+        for dx in range(Px):
+            # signed cyclic x distance from this column's slab start
+            dxf = np.mod(sxf - dx + Px / 2.0, Px) - Px / 2.0
+            in_x = (dxf >= 0) & (dxf < 1.0)
+            in_x_exp = (dxf >= -mfx * Px) & (dxf <= 1.0 + mfx * Px)
+            for dy in range(Py):
+                dyf = np.mod(syf - dy + Py / 2.0, Py) - Py / 2.0
+                in_y = (dyf >= 0) & (dyf < 1.0)
+                own = in_x & in_y
+                if Px > 1:
+                    hx.append((own & (dxf <= mfx * Px)).sum())
+                    hx.append((own & (dxf >= 1.0 - mfx * Px)).sum())
+                if Py > 1:
+                    hy.append((in_x_exp & in_y
+                               & (dyf <= mfy * Py)).sum())
+                    hy.append((in_x_exp & in_y
+                               & (dyf >= 1.0 - mfy * Py)).sum())
+        def cap(v):
+            return max(8, int(-(-int(v * self.slack) // 8) * 8))
+        self.Bhx = (max(getattr(self, "Bhx", 0), cap(max(hx)))
+                    if Px > 1 else 0)
+        self.Bhy = (max(getattr(self, "Bhy", 0), cap(max(hy)))
+                    if Py > 1 else 0)
+        self.Bh = self.Bhx          # back-compat alias (x-stage halo cap)
         self.B_mig = max(8, -(-self.n_cap // 8) * 2)  # ~25% of slab
-        self.n_loc = self.n_cap + 2 * self.Bh
+        self.n_loc = self.n_cap + 2 * self.Bhx + 2 * self.Bhy
 
         order = np.argsort(slab_of, kind="stable")
         starts = np.zeros(Pn + 1, np.int64)
@@ -318,8 +394,10 @@ class ShardedEngine:
 
     def _make_plan(self):
         requests = self.pair.neighbor_requests()
-        natoms_est = int(self.natoms * (1.0 / self.n_devices
-                                        + 2 * self.margin_frac) * 1.1) + 8
+        Px, Py = self.grid
+        mfx, mfy = self.margin_frac
+        natoms_est = int(self.natoms * (1.0 / Px + 2 * mfx)
+                         * (1.0 / Py + 2 * mfy) * 1.1) + 8
         self._plan = device_build.make_plan_from_density(
             self.slab_box, requests, self.skin, natoms_est,
             slack=max(self.slack, 1.5),
@@ -330,27 +408,96 @@ class ShardedEngine:
 
     # -- jitted resettle (wrap + migrate + halo + per-shard rebuild) -------
     def _build_resettle(self):
-        Pn = self.n_devices
-        n_cap, Bh, B = self.n_cap, self.Bh, self.B_mig
+        Px, Py = self.grid
+        n_cap, B = self.n_cap, self.B_mig
+        Bhx, Bhy = self.Bhx, self.Bhy
         plan = self._plan
         cut_mats = self._cut_mats
         h_g, hinv_g, lo_g = self._h_glob, self._hinv_glob, self._lo_glob
         h_s, hinv_s = self._h_slab, self._hinv_slab
         lo_shards = self._lo_shards
-        arow = self._arow
-        m_frac = self.margin_frac
-        park = lo_g + 2.0 * arow
-        perm_r = [(i, (i + 1) % Pn) for i in range(Pn)]
-        perm_l = [(i, (i - 1) % Pn) for i in range(Pn)]
+        arow, brow = self._arow, self._brow
+        mfx, mfy = self.margin_frac
+        park = lo_g + 2.0 * (arow if Px > 1 else brow)
+        perm_xr, perm_xl, perm_yu, perm_yd = self._perms()
 
         def mv3(v, m):
             return jnp.stack(
                 [v[:, 0] * m[0, a] + v[:, 1] * m[1, a] + v[:, 2] * m[2, a]
                  for a in range(3)], axis=1)
 
+        def migrate_axis(rows, valid, s_row, my_i, P, perm_f, perm_b):
+            """One exchange stage along one grid axis.  Atoms more than
+            one slab away are dropped (counted lost, Comm::exchange
+            semantics).  Returns (packed rows, n_new, overflow, lost)."""
+            dl = jnp.mod(s_row - my_i, P)
+            stay = valid & (dl == 0)
+            go_f = valid & (dl == 1)
+            if P == 2:
+                # dl==1 is both neighbors (same peer): route all movers
+                # through the forward exchange
+                go_b = jnp.zeros_like(go_f)
+            else:
+                go_b = valid & (dl == P - 1)
+            lost = valid & ~stay & ~go_f & ~go_b
+            kept, nk, ov_keep = _pack(stay, n_cap, rows)
+            sf, cf, ov_f = _pack(go_f, B, rows)
+            sb, cb, ov_b = _pack(go_b, B, rows)
+            vf = jnp.arange(B) < cf
+            vb = jnp.arange(B) < cb
+            recv_b = [jax.lax.ppermute(a, AXIS, perm_f) for a in sf]
+            rv_b = jax.lax.ppermute(vf, AXIS, perm_f)
+            recv_f = [jax.lax.ppermute(a, AXIS, perm_b) for a in sb]
+            rv_f = jax.lax.ppermute(vb, AXIS, perm_b)
+            kept, c1 = _merge(rv_b, nk, n_cap, kept, recv_b)
+            kept, c2 = _merge(rv_f, nk + c1, n_cap, kept, recv_f)
+            n_new = nk + c1 + c2
+            ov = ov_keep | ov_f | ov_b | (n_new > n_cap)
+            return kept, n_new, ov, jnp.sum(lost)
+
+        def halo_axis(xb, tb, qb, validb, s_loc, mf, P, perm_f, perm_b,
+                      Bh, axis_row, my_i):
+            """One halo-exchange stage: export boundary bands of the
+            given block to the two axis neighbors; return (halo arrays
+            low side, high side, export tables)."""
+            exp_lo = validb & (s_loc <= mf * P)
+            exp_hi = validb & (s_loc >= 1.0 - mf * P)
+            slots = jnp.arange(xb.shape[0], dtype=jnp.int32)
+            (ehi_idx, ehi_t, ehi_q), nchi, ov_hi = _pack(
+                exp_hi, Bh, (slots, tb, qb))
+            (elo_idx, elo_t, elo_q), nclo, ov_lo = _pack(
+                exp_lo, Bh, (slots, tb, qb))
+            val_ehi = jnp.arange(Bh) < nchi
+            val_elo = jnp.arange(Bh) < nclo
+            # my low-side halo = backward neighbor's high export
+            val_hlo = jax.lax.ppermute(val_ehi, AXIS, perm_f)
+            t_hlo = jax.lax.ppermute(ehi_t, AXIS, perm_f)
+            q_hlo = jax.lax.ppermute(ehi_q, AXIS, perm_f)
+            x_hlo = jax.lax.ppermute(xb[ehi_idx], AXIS, perm_f)
+            val_hhi = jax.lax.ppermute(val_elo, AXIS, perm_b)
+            t_hhi = jax.lax.ppermute(elo_t, AXIS, perm_b)
+            q_hhi = jax.lax.ppermute(elo_q, AXIS, perm_b)
+            x_hhi = jax.lax.ppermute(xb[elo_idx], AXIS, perm_b)
+            lo_shift = jnp.where(my_i == 0, -1.0, 0.0).astype(self.dtype)
+            hi_shift = jnp.where(my_i == P - 1, 1.0, 0.0).astype(self.dtype)
+            x_hlo = jnp.where(val_hlo[:, None],
+                              x_hlo + lo_shift * axis_row[None, :],
+                              park[None, :])
+            x_hhi = jnp.where(val_hhi[:, None],
+                              x_hhi + hi_shift * axis_row[None, :],
+                              park[None, :])
+            return ((x_hlo, jnp.where(val_hlo, t_hlo, 1),
+                     jnp.where(val_hlo, q_hlo, 0.0), val_hlo),
+                    (x_hhi, jnp.where(val_hhi, t_hhi, 1),
+                     jnp.where(val_hhi, q_hhi, 0.0), val_hhi),
+                    (ehi_idx, elo_idx),
+                    jnp.maximum(nchi, nclo), ov_hi | ov_lo)
+
         def local(ss):
             ss = _sq(ss)
             d = jax.lax.axis_index(AXIS)
+            dxi = d // Py
+            dyi = d % Py
             valid = ss.valid
             # global wrap (Domain::pbc) + image bookkeeping
             fg = mv3(ss.x - lo_g, hinv_g)
@@ -360,81 +507,80 @@ class ShardedEngine:
             shift = shift * per[None, :]
             xw = mv3(fg - shift, h_g) + lo_g
             image = ss.image + shift.astype(jnp.int32)
-            fx = (fg - shift)[:, 0]
-
-            slab = jnp.clip((fx * Pn).astype(jnp.int32), 0, Pn - 1)
-            dl = jnp.mod(slab - d, Pn)
-            stay = valid & (dl == 0)
-            go_r = valid & (dl == 1)
-            if Pn == 2:
-                # dl==1 is both "left" and "right" (same peer); route all
-                # movers through the right-going exchange
-                go_l = jnp.zeros_like(go_r)
-            else:
-                go_l = valid & (dl == Pn - 1)
-            lost = valid & ~stay & ~go_r & ~go_l
+            fw = fg - shift
 
             rows = (xw, ss.v, ss.f, image, ss.type.astype(jnp.int32),
                     ss.q, ss.tag)
-            kept, nk, ov_keep = _pack(stay, n_cap, rows)
-            sr, cr, ov_r = _pack(go_r, B, rows)
-            sl_, cl_, ov_l = _pack(go_l, B, rows)
-            vr = jnp.arange(B) < cr
-            vl_ = jnp.arange(B) < cl_
+            ov_mig = jnp.zeros((), bool)
+            lost = jnp.zeros((), jnp.int32)
+            if Px > 1:
+                sx = jnp.clip((fw[:, 0] * Px).astype(jnp.int32), 0, Px - 1)
+                rows, n_new, ov, l_ = migrate_axis(
+                    rows, valid, sx, dxi, Px, perm_xr, perm_xl)
+                valid = jnp.arange(n_cap) < n_new
+                ov_mig |= ov
+                lost += l_
+            if Py > 1:
+                # recompute the y slab of the (possibly x-migrated) rows
+                fy = mv3(rows[0] - lo_g, hinv_g)[:, 1]
+                sy = jnp.clip((fy * Py).astype(jnp.int32), 0, Py - 1)
+                rows, n_new, ov, l_ = migrate_axis(
+                    rows, valid, sy, dyi, Py, perm_yu, perm_yd)
+                valid = jnp.arange(n_cap) < n_new
+                ov_mig |= ov
+                lost += l_
 
-            # exchange migrants with both neighbors
-            recv_l = [jax.lax.ppermute(a, AXIS, perm_r) for a in sr]
-            rv_l = jax.lax.ppermute(vr, AXIS, perm_r)
-            recv_r = [jax.lax.ppermute(a, AXIS, perm_l) for a in sl_]
-            rv_r = jax.lax.ppermute(vl_, AXIS, perm_l)
-
-            kept, c1 = _merge(rv_l, nk, n_cap, kept, recv_l)
-            kept, c2 = _merge(rv_r, nk + c1, n_cap, kept, recv_r)
-            n_new = nk + c1 + c2
-            ov_n = n_new > n_cap
-            x2, v2, f2, im2, t2, q2, tag2 = kept
-            valid2 = jnp.arange(n_cap) < n_new
+            x2, v2, f2, im2, t2, q2, tag2 = rows
+            valid2 = valid
             x2 = jnp.where(valid2[:, None], x2, park[None, :])
             t2 = jnp.where(valid2, t2, 1)
             tag2 = jnp.where(valid2, tag2, -1)
 
-            # halo export selection from the settled slab
-            fx2 = mv3(x2 - lo_g, hinv_g)[:, 0]
-            sl_loc = fx2 * Pn - d.astype(self.dtype)
-            exp_l_m = valid2 & (sl_loc <= m_frac * Pn)
-            exp_r_m = valid2 & (sl_loc >= 1.0 - m_frac * Pn)
-            slots = jnp.arange(n_cap, dtype=jnp.int32)
-            (er_idx, er_t, er_q), ncr, ov_hr = _pack(
-                exp_r_m, Bh, (slots, t2, q2))
-            (el_idx, el_t, el_q), ncl, ov_hl = _pack(
-                exp_l_m, Bh, (slots, t2, q2))
-            val_er = jnp.arange(Bh) < ncr
-            val_el = jnp.arange(Bh) < ncl
+            # halo stage X: boundary bands of the settled owned block
+            fw2 = mv3(x2 - lo_g, hinv_g)
+            blocks_x, blocks_t, blocks_q, blocks_v = [x2], [t2], [q2], \
+                [valid2]
+            exp_r = exp_l = jnp.zeros((0,), jnp.int32)
+            val_hl = val_hr = jnp.zeros((0,), bool)
+            nch_x = jnp.zeros((), jnp.int32)
+            ov_hx = jnp.zeros((), bool)
+            if Px > 1:
+                sl_x = fw2[:, 0] * Px - dxi.astype(self.dtype)
+                lo_h, hi_h, (exp_r, exp_l), nch_x, ov_hx = halo_axis(
+                    x2, t2, q2, valid2, sl_x, mfx, Px, perm_xr, perm_xl,
+                    Bhx, arow, dxi)
+                for h_ in (lo_h, hi_h):
+                    blocks_x.append(h_[0])
+                    blocks_t.append(h_[1])
+                    blocks_q.append(h_[2])
+                    blocks_v.append(h_[3])
+            xb = jnp.concatenate(blocks_x, axis=0)
+            tb = jnp.concatenate(blocks_t)
+            qb = jnp.concatenate(blocks_q)
+            vb = jnp.concatenate(blocks_v)
 
-            # my halos = neighbors' exports
-            val_hl = jax.lax.ppermute(val_er, AXIS, perm_r)
-            t_hl = jax.lax.ppermute(er_t, AXIS, perm_r)
-            q_hl = jax.lax.ppermute(er_q, AXIS, perm_r)
-            x_hl = jax.lax.ppermute(x2[er_idx], AXIS, perm_r)
-            val_hr = jax.lax.ppermute(val_el, AXIS, perm_l)
-            t_hr = jax.lax.ppermute(el_t, AXIS, perm_l)
-            q_hr = jax.lax.ppermute(el_q, AXIS, perm_l)
-            x_hr = jax.lax.ppermute(x2[el_idx], AXIS, perm_l)
-            sl_shift = jnp.where(d == 0, -1.0, 0.0).astype(self.dtype)
-            sr_shift = jnp.where(d == Pn - 1, 1.0, 0.0).astype(self.dtype)
-            x_hl = jnp.where(val_hl[:, None],
-                             x_hl + sl_shift * arow[None, :], park[None, :])
-            x_hr = jnp.where(val_hr[:, None],
-                             x_hr + sr_shift * arow[None, :], park[None, :])
+            # halo stage Y over the [owned | x-halo] block: corner halos
+            # arrive as y-exports of x-halo rows
+            exp_u = exp_d = jnp.zeros((0,), jnp.int32)
+            val_hd = val_hu = jnp.zeros((0,), bool)
+            nch_y = jnp.zeros((), jnp.int32)
+            ov_hy = jnp.zeros((), bool)
+            if Py > 1:
+                fyb = mv3(xb - lo_g, hinv_g)[:, 1]
+                sl_y = fyb * Py - dyi.astype(self.dtype)
+                lo_h, hi_h, (exp_u, exp_d), nch_y, ov_hy = halo_axis(
+                    xb, tb, qb, vb, sl_y, mfy, Py, perm_yu, perm_yd,
+                    Bhy, brow, dyi)
+                xb = jnp.concatenate([xb, lo_h[0], hi_h[0]], axis=0)
+                tb = jnp.concatenate([tb, lo_h[1], hi_h[1]])
+                qb = jnp.concatenate([qb, lo_h[2], hi_h[2]])
+                vb = jnp.concatenate([vb, lo_h[3], hi_h[3]])
+                val_hd, val_hu = lo_h[3], hi_h[3]
+            if Px > 1:
+                val_hl = blocks_v[1]
+                val_hr = blocks_v[2]
 
-            x_loc = jnp.concatenate([x2, x_hl, x_hr], axis=0)
-            t_loc = jnp.concatenate(
-                [t2, jnp.where(val_hl, t_hl, 1), jnp.where(val_hr, t_hr, 1)])
-            q_loc = jnp.concatenate(
-                [q2, jnp.where(val_hl, q_hl, 0.0),
-                 jnp.where(val_hr, q_hr, 0.0)])
-            valid_loc = jnp.concatenate([valid2, val_hl, val_hr])
-
+            x_loc, t_loc, q_loc, valid_loc = xb, tb, qb, vb
             lo_d = lo_shards[d]
             zero_im = jnp.zeros((x_loc.shape[0], 3), jnp.int32)
             xw_loc, _, nbr, flags = device_build.device_rebuild(
@@ -442,20 +588,23 @@ class ShardedEngine:
                 valid=valid_loc)
 
             flags = dict(flags)
-            flags["mig_overflow"] = ov_r | ov_l | ov_n | ov_keep
-            flags["halo_overflow"] = ov_hr | ov_hl
-            flags["lost_atoms"] = jnp.sum(lost)
-            flags["count:slab"] = n_new
-            flags["count:halo"] = jnp.maximum(ncr, ncl)
+            flags["mig_overflow"] = ov_mig
+            flags["halo_overflow"] = ov_hx | ov_hy
+            flags["lost_atoms"] = lost
+            flags["count:slab"] = jnp.sum(valid2)
+            flags["count:halo"] = nch_x
+            flags["count:haloy"] = nch_y
             flags = {k: jax.lax.pmax(jnp.asarray(v).astype(jnp.int32), AXIS)
                      for k, v in flags.items()}
 
             ss2 = ss.replace(x=x2, v=v2, f=f2, image=im2, type=t2, q=q2,
                              tag=tag2, valid=valid2)
-            halo = HaloTables(exp_r=er_idx, exp_l=el_idx,
+            halo = HaloTables(exp_r=exp_r, exp_l=exp_l,
                               val_hl=val_hl, val_hr=val_hr,
                               t_loc=t_loc, valid_loc=valid_loc,
-                              q_loc=q_loc)
+                              q_loc=q_loc,
+                              exp_u=exp_u, exp_d=exp_d,
+                              val_hd=val_hd, val_hu=val_hu)
             exp = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)
             return exp(ss2), exp(halo), exp(nbr), flags
 
@@ -538,9 +687,15 @@ class ShardedEngine:
             self.n_cap = -(-int(max(flags_np["count:slab"], self.n_cap)
                                 * 1.2) // 8) * 8
         if "halo_overflow" in bad:
-            self.Bh = -(-int(max(flags_np["count:halo"] * 1.3, self.Bh))
-                        // 8) * 8
-        self.n_loc = self.n_cap + 2 * self.Bh
+            if self.grid[0] > 1:
+                self.Bhx = -(-int(max(flags_np["count:halo"] * 1.3,
+                                      self.Bhx)) // 8) * 8
+            if self.grid[1] > 1:
+                self.Bhy = -(-int(max(
+                    flags_np.get("count:haloy", 0) * 1.3,
+                    self.Bhy)) // 8) * 8
+            self.Bh = self.Bhx
+        self.n_loc = self.n_cap + 2 * self.Bhx + 2 * self.Bhy
         if self.n_cap != old_ncap:
             # repack the shard state at the new capacity; per-atom fix
             # extras (e.g. bfield's v0 snapshot) are step-transient and
@@ -577,26 +732,49 @@ class ShardedEngine:
         return ss.replace(x=st.x, v=st.v, f=st.f, image=st.image,
                           step=st.step, extras=extras)
 
-    def _build_segment(self, nsteps: int):
-        Pn = self.n_devices
-        n_cap = self.n_cap
-        perm_r = [(i, (i + 1) % Pn) for i in range(Pn)]
-        perm_l = [(i, (i - 1) % Pn) for i in range(Pn)]
-        arow = self._arow
-        h_s = self._h_slab
-        ctx = self.ctx
-        park = self._lo_glob + 2.0 * arow
+    def _halo_fn(self):
+        """Shared per-step halo position refresh closure.
+
+        Two-stage for 2-D grids: x-halos from the owned block, then
+        y-halos (incl. corners) from the [owned | x-halo] block — the
+        position-only analogue of LAMMPS forward communication."""
+        Px, Py = self.grid
+        perm_xr, perm_xl, perm_yu, perm_yd = self._perms()
+        arow, brow = self._arow, self._brow
+        park = self._lo_glob + 2.0 * (arow if Px > 1 else brow)
 
         def halo_positions(x, halo, d):
-            sl_shift = jnp.where(d == 0, -1.0, 0.0).astype(x.dtype)
-            sr_shift = jnp.where(d == Pn - 1, 1.0, 0.0).astype(x.dtype)
-            x_hl = jax.lax.ppermute(x[halo.exp_r], AXIS, perm_r)
-            x_hr = jax.lax.ppermute(x[halo.exp_l], AXIS, perm_l)
-            x_hl = jnp.where(halo.val_hl[:, None],
-                             x_hl + sl_shift * arow[None, :], park[None, :])
-            x_hr = jnp.where(halo.val_hr[:, None],
-                             x_hr + sr_shift * arow[None, :], park[None, :])
-            return jnp.concatenate([x, x_hl, x_hr], axis=0)
+            dxi = d // Py
+            dyi = d % Py
+            if Px > 1:
+                sl = jnp.where(dxi == 0, -1.0, 0.0).astype(x.dtype)
+                sr = jnp.where(dxi == Px - 1, 1.0, 0.0).astype(x.dtype)
+                x_hl = jax.lax.ppermute(x[halo.exp_r], AXIS, perm_xr)
+                x_hr = jax.lax.ppermute(x[halo.exp_l], AXIS, perm_xl)
+                x_hl = jnp.where(halo.val_hl[:, None],
+                                 x_hl + sl * arow[None, :], park[None, :])
+                x_hr = jnp.where(halo.val_hr[:, None],
+                                 x_hr + sr * arow[None, :], park[None, :])
+                x = jnp.concatenate([x, x_hl, x_hr], axis=0)
+            if Py > 1:
+                sd = jnp.where(dyi == 0, -1.0, 0.0).astype(x.dtype)
+                su = jnp.where(dyi == Py - 1, 1.0, 0.0).astype(x.dtype)
+                x_hd = jax.lax.ppermute(x[halo.exp_u], AXIS, perm_yu)
+                x_hu = jax.lax.ppermute(x[halo.exp_d], AXIS, perm_yd)
+                x_hd = jnp.where(halo.val_hd[:, None],
+                                 x_hd + sd * brow[None, :], park[None, :])
+                x_hu = jnp.where(halo.val_hu[:, None],
+                                 x_hu + su * brow[None, :], park[None, :])
+                x = jnp.concatenate([x, x_hd, x_hu], axis=0)
+            return x
+
+        return halo_positions
+
+    def _build_segment(self, nsteps: int):
+        n_cap = self.n_cap
+        h_s = self._h_slab
+        ctx = self.ctx
+        halo_positions = self._halo_fn()
 
         def local(ss, halo, nbr):
             ss = _sq(ss)
@@ -640,28 +818,16 @@ class ShardedEngine:
     def _build_forces_once(self):
         """Forces-only sharded evaluation (LAMMPS setup(): make state.f
         valid before the first segment's initial half-kick)."""
-        Pn = self.n_devices
         n_cap = self.n_cap
-        perm_r = [(i, (i + 1) % Pn) for i in range(Pn)]
-        perm_l = [(i, (i - 1) % Pn) for i in range(Pn)]
-        arow = self._arow
         h_s = self._h_slab
-        park = self._lo_glob + 2.0 * arow
+        halo_positions = self._halo_fn()
 
         def local(ss, halo, nbr):
             ss = _sq(ss)
             halo = _sq(halo)
             nbr = _sq(nbr)
             d = jax.lax.axis_index(AXIS)
-            sl_shift = jnp.where(d == 0, -1.0, 0.0).astype(ss.x.dtype)
-            sr_shift = jnp.where(d == Pn - 1, 1.0, 0.0).astype(ss.x.dtype)
-            x_hl = jax.lax.ppermute(ss.x[halo.exp_r], AXIS, perm_r)
-            x_hr = jax.lax.ppermute(ss.x[halo.exp_l], AXIS, perm_l)
-            x_hl = jnp.where(halo.val_hl[:, None],
-                             x_hl + sl_shift * arow[None, :], park[None, :])
-            x_hr = jnp.where(halo.val_hr[:, None],
-                             x_hr + sr_shift * arow[None, :], park[None, :])
-            x_loc = jnp.concatenate([ss.x, x_hl, x_hr], axis=0)
+            x_loc = halo_positions(ss.x, halo, d)
             f_loc = self._pair_local(halo).forces(x_loc, halo.t_loc, nbr, h_s)
             return (f_loc[:n_cap] * ss.valid[:, None])[None]
 
@@ -683,32 +849,18 @@ class ShardedEngine:
 
     # -- energy / thermo ---------------------------------------------------
     def _build_ev(self):
-        Pn = self.n_devices
         n_cap = self.n_cap
         h_s = self._h_slab
-        perm_r = [(i, (i + 1) % Pn) for i in range(Pn)]
-        perm_l = [(i, (i - 1) % Pn) for i in range(Pn)]
-        arow = self._arow
-        park = self._lo_glob + 2.0 * arow
+        halo_positions = self._halo_fn()
 
         def local(ss, halo, nbr):
             ss = _sq(ss)
             halo = _sq(halo)
             nbr = _sq(nbr)
             d = jax.lax.axis_index(AXIS)
-            sl_shift = jnp.where(d == 0, -1.0, 0.0).astype(ss.x.dtype)
-            sr_shift = jnp.where(d == Pn - 1, 1.0, 0.0).astype(ss.x.dtype)
 
             def e_of(x, strain):
-                x_hl = jax.lax.ppermute(x[halo.exp_r], AXIS, perm_r)
-                x_hr = jax.lax.ppermute(x[halo.exp_l], AXIS, perm_l)
-                x_hl = jnp.where(halo.val_hl[:, None],
-                                 x_hl + sl_shift * arow[None, :],
-                                 park[None, :])
-                x_hr = jnp.where(halo.val_hr[:, None],
-                                 x_hr + sr_shift * arow[None, :],
-                                 park[None, :])
-                x_loc = jnp.concatenate([x, x_hl, x_hr], axis=0)
+                x_loc = halo_positions(x, halo, d)
                 owned = jnp.concatenate(
                     [ss.valid, jnp.zeros(x_loc.shape[0] - n_cap, bool)])
                 e = self._pair_local(halo).energy(x_loc, strain, halo.t_loc, nbr, h_s,
@@ -734,28 +886,16 @@ class ShardedEngine:
         """Energy-only sharded evaluation (no strain grad — the virial
         backward pass costs ~5x the compile; tests and cheap monitors use
         this)."""
-        Pn = self.n_devices
         n_cap = self.n_cap
         h_s = self._h_slab
-        perm_r = [(i, (i + 1) % Pn) for i in range(Pn)]
-        perm_l = [(i, (i - 1) % Pn) for i in range(Pn)]
-        arow = self._arow
-        park = self._lo_glob + 2.0 * arow
+        halo_positions = self._halo_fn()
 
         def local(ss, halo, nbr):
             ss = _sq(ss)
             halo = _sq(halo)
             nbr = _sq(nbr)
             d = jax.lax.axis_index(AXIS)
-            sl_shift = jnp.where(d == 0, -1.0, 0.0).astype(ss.x.dtype)
-            sr_shift = jnp.where(d == Pn - 1, 1.0, 0.0).astype(ss.x.dtype)
-            x_hl = jax.lax.ppermute(ss.x[halo.exp_r], AXIS, perm_r)
-            x_hr = jax.lax.ppermute(ss.x[halo.exp_l], AXIS, perm_l)
-            x_hl = jnp.where(halo.val_hl[:, None],
-                             x_hl + sl_shift * arow[None, :], park[None, :])
-            x_hr = jnp.where(halo.val_hr[:, None],
-                             x_hr + sr_shift * arow[None, :], park[None, :])
-            x_loc = jnp.concatenate([ss.x, x_hl, x_hr], axis=0)
+            x_loc = halo_positions(ss.x, halo, d)
             owned = jnp.concatenate(
                 [ss.valid, jnp.zeros(x_loc.shape[0] - n_cap, bool)])
             e = self._pair_local(halo).energy(x_loc, None, halo.t_loc, nbr, h_s,

@@ -92,6 +92,14 @@ class Engine:
         # discarded span plus two retraces (observed on the 863 K AEAM
         # bench: two full bench reps eaten by resize churn)
         self._k_headroom = 2
+        # per-tier high-water mark of measured kmax: re-size targets use
+        # it so the cap never re-tightens below a count the run has
+        # already seen.  Without it, hot systems whose kmax fluctuates
+        # around a quantization boundary oscillate grow<->tighten, and
+        # every flip is a full retrace (observed on the 863 K AEAM bench:
+        # K 128<->192 flips ate 100+ s per 48-step span; with the
+        # ratchet the same bench holds 1.03e6 atom-steps/s steady)
+        self._k_hwm = {}
         # on-device rebuild: the TPU-native path for large systems (host
         # rebuild is O(seconds) at 100k atoms; device is O(ms))
         if device_rebuild is None:
@@ -257,12 +265,15 @@ class Engine:
             # observed as a never-converging resize/overflow tug-of-war
             # on the 863 K AEAM bench (RuntimeError after 6 retries,
             # host-loop fallback).
+            self._note_k_counts(flags_np)
             caps = dict(self._plan.k_caps)
             slack_k = False
             for k, v in flags_np.items():
                 if k.startswith("count:k:"):
-                    target = _quantize_k(int(v) + self._k_headroom)
-                    if caps[k.split(":", 2)[2]] - target >= 32:
+                    name = k.split(":", 2)[2]
+                    hwm = max(int(v), self._k_hwm.get(name, 0))
+                    target = _quantize_k(hwm + self._k_headroom)
+                    if caps[name] - target >= 32:
                         slack_k = True
             if slack_k:
                 self._resize_plan(flags_np, grow=1.0)
@@ -273,10 +284,18 @@ class Engine:
         self._maxdisp_is_device = True
         self._pending_rebuild = False
 
+    def _note_k_counts(self, flags_np):
+        """Ratchet the per-tier kmax high-water marks."""
+        for k, v in flags_np.items():
+            if k.startswith("count:k:"):
+                name = k.split(":", 2)[2]
+                self._k_hwm[name] = max(self._k_hwm.get(name, 0), int(v))
+
     def _resize_plan(self, flags_np, grow: float):
         """New plan from measured counts (overflow recovery / tightening)."""
         from ..neighbor import device_build
 
+        self._note_k_counts(flags_np)
         requests = self.pair.neighbor_requests()
         # Final K = measured kmax (+ small headroom), quantized to 16:
         # deterministic in the measurement, so repeated runs of the same
@@ -290,10 +309,11 @@ class Engine:
         for k, v in flags_np.items():
             if not k.startswith("count:k:"):
                 continue
-            m = int(v)
+            name = k.split(":", 2)[2]
+            m = max(int(v), self._k_hwm.get(name, 0))
             hr = self._k_headroom
             target = m + hr if grow <= 1.3 else int(m * grow) + hr
-            k_counts[k.split(":", 2)[2]] = _quantize_k(target)
+            k_counts[name] = _quantize_k(target)
         cand_occ = (int(flags_np["count:candcell"])
                     if "count:candcell" in flags_np else None)
         # windowed mirror combine: size the cyclic window cap from the
@@ -491,11 +511,14 @@ class Engine:
             # at least one in-loop rebuild ran: apply the same K cap
             # re-tightening policy as the host rebuild path (skipped while
             # a span-overflow recovery is in flight, same as above)
+            self._note_k_counts(flags_np)
             caps = dict(self._plan.k_caps)
             for k, v in flags_np.items():
                 if k.startswith("count:k:") and int(v) > 0:
-                    target = _quantize_k(int(v) + self._k_headroom)
-                    if caps[k.split(":", 2)[2]] - target >= 32:
+                    name = k.split(":", 2)[2]
+                    hwm = max(int(v), self._k_hwm.get(name, 0))
+                    target = _quantize_k(hwm + self._k_headroom)
+                    if caps[name] - target >= 32:
                         self._resize_plan(flags_np, grow=1.0)
                         self._loop_jit = None
                         self.rebuild_neighbors()

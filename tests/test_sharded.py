@@ -31,14 +31,14 @@ from conftest import AEAM_FILE, REBO_FILE
 
 def _compare_trajectories(state, pair, fixes_single, fixes_shard,
                           nsteps=60, n_devices=4, check_every=10,
-                          atol=1e-9, skin=None):
+                          atol=1e-9, skin=None, grid=None):
     eng = Engine(state, pair, fixes_single, units.METAL,
                  device_rebuild=False, check_every=check_every,
                  **({"skin": skin} if skin is not None else {}))
     eng.run(nsteps)
     se = ShardedEngine(state, pair, fixes_shard, units.METAL,
                        n_devices=n_devices, check_every=check_every,
-                       skin=skin)
+                       skin=skin, grid=grid)
     se.run(nsteps)
     st = se.to_state()
     x1, x2 = np.asarray(eng.state.x), np.asarray(st.x)
@@ -368,3 +368,51 @@ def test_sharded_charged_coulomb_melt():
 
     _compare_trajectories(state, pair, [FixNVE()], [FixNVE()],
                           nsteps=20, check_every=10, skin=1.0)
+
+def test_sharded_2d_grid_parity():
+    """2-D (2x2) processor grid: two-stage migration + halo exchange with
+    corner halos must reproduce the single-device trajectory — the
+    analogue of the reference's own 2x2x1 processor grid
+    (log.rebomos-bulk.4:22).  The box is chosen so an equivalent 4-way
+    x-slab split would leave slabs wider than the margin but a genuinely
+    2-D box benefits from splitting both axes."""
+    state = rebomos_bulk(nx=12, ny=12, nz=1, tilt_xy=0.0)
+    pair = REBOMoS.from_file(REBO_FILE, ["M", "S"])
+    state = velocity_create(state, units.METAL, 300.0, seed=31)
+    _compare_trajectories(state, pair, [FixNVE()], [FixNVE()],
+                          nsteps=40, n_devices=4, check_every=10,
+                          atol=1e-9, grid=(2, 2))
+
+
+def test_sharded_2d_static_energy_forces():
+    """2x2 grid static PE + forces match single-device (incl. migration
+    after a uniform diagonal push so atoms cross BOTH axis boundaries)."""
+    state = rebomos_bulk(nx=12, ny=12, nz=1, tilt_xy=0.0)
+    pair = REBOMoS.from_file(REBO_FILE, ["M", "S"])
+    se = ShardedEngine(state, pair, [FixNVE()], units.METAL,
+                       n_devices=4, grid=(2, 2))
+    se.resettle()
+    tags0 = np.asarray(jax.device_get(se.shards.tag)).copy()
+    x = np.array(jax.device_get(se.shards.x))
+    valid = np.asarray(jax.device_get(se.shards.valid))
+    x[valid] += np.array([3.0, 3.0, 0.0])
+    se.shards = se.shards.replace(x=jnp.asarray(x, se.dtype))
+    se.resettle()
+    assert int(se._flags["lost_atoms"]) == 0
+    tags1 = np.asarray(jax.device_get(se.shards.tag))
+    assert sorted(tags1[tags1 >= 0].tolist()) == sorted(
+        tags0[tags0 >= 0].tolist())
+    moved = any(
+        set(tags0[d][tags0[d] >= 0].tolist())
+        != set(tags1[d][tags1[d] >= 0].tolist()) for d in range(4))
+    assert moved, "no atom migrated across the 2-D grid"
+
+    pe2 = se.potential_energy()
+    st = se.to_state()
+    eng = Engine(st, pair, [FixNVE()], units.METAL, device_rebuild=False)
+    pe1, _ = eng.evaluate()
+    assert abs(pe2 - float(pe1)) < 1e-10 * abs(float(pe1))
+    se._setup_forces()
+    f2 = np.asarray(se.to_state().f)
+    np.testing.assert_allclose(f2, np.asarray(eng.state.f),
+                               atol=1e-11, rtol=1e-10)

@@ -6,6 +6,8 @@ benchmarks share one construction path.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -43,6 +45,10 @@ def spatial_sort(pos: np.ndarray, types: np.ndarray, cell: float = 4.8):
     (neighbor/device_build.py: RebuildPlan.mirror_window) converts into
     small per-chunk gather operands.  The analogue of LAMMPS
     `atom_modify sort` (on by default there, bin 0.0 -> neighbor cutoff).
+    Off by default in the scene generators (LPT_SORT_SCENE=1 to enable):
+    with the windowed combine measured as an in-step dead end
+    (probe_mirror18/19, choose_mirror_window), sorting only costs the
+    bench ~2% in changed gather patterns.
     """
     mn = pos.min(axis=0)
     c3 = ((pos - mn) / cell).astype(np.int64)
@@ -103,7 +109,8 @@ def rebomos_bulk_commensurate(nx: int = 34, ny: int = 48, nz: int = 10,
     h = box.h_np()
     f = pos @ np.linalg.inv(h)
     pos = (f - np.floor(f)) @ h
-    pos, types = spatial_sort(pos, types)
+    if os.environ.get("LPT_SORT_SCENE"):
+        pos, types = spatial_sort(pos, types)
     mass = np.array([0.0, *MOS2_MASSES])
     return State.create(x=jnp.asarray(pos, dtype=dtype), type=types,
                         box=box, mass=mass, dtype=dtype)
@@ -147,7 +154,8 @@ def rebomos_monolayer(nx: int = 34, ny: int = 48, vacuum: float = 20.0,
     f = pos @ np.linalg.inv(h)
     pos = (f - np.floor(f)) @ h
     types = np.tile(np.asarray((1, 2, 2), np.int32), len(cells))
-    pos, types = spatial_sort(pos, types)
+    if os.environ.get("LPT_SORT_SCENE"):
+        pos, types = spatial_sort(pos, types)
     mass = np.array([0.0, *MOS2_MASSES])
     return State.create(x=jnp.asarray(pos, dtype=dtype), type=types,
                         box=box, mass=mass, dtype=dtype)

@@ -547,6 +547,18 @@ class REBOMoS(PairStyle):
             dxT = g3[0] - xT[0:1, :]
             dyT = g3[1] - xT[1:2, :]
             dzT = g3[2] - xT[2:3, :]
+        elif os.environ.get("LPT_DGT") == "self":
+            # fold the center positions into the SAME row gather as the
+            # neighbors (row K = identity): the centers then arrive in
+            # the gather's native layout, deleting the xT column slices
+            # whose [Np] T(1024) VMEM prefetches showed as 2x3 per-step
+            # async copies in the trace (~0.66 ms each at 98k atoms)
+            idn = jnp.minimum(jnp.arange(Np, dtype=idxT.dtype), N - 1)
+            idxT1 = jnp.concatenate([idxT, idn[None, :]], axis=0)
+            rows = x_all[idxT1.reshape(-1)].reshape(K + 1, Np, 3)
+            dxT = rows[:K, :, 0] - rows[K:, :, 0]
+            dyT = rows[:K, :, 1] - rows[K:, :, 1]
+            dzT = rows[:K, :, 2] - rows[K:, :, 2]
         else:
             rows = x_all[idxT.reshape(-1)].reshape(K, Np, 3)
             dxT = rows[..., 0] - xT[0:1, :]

@@ -72,12 +72,13 @@ def main():
     print(f"# PE/atom {pe/state.natoms:.4f} eV ({time.time()-t0:.0f}s)",
           flush=True)
 
+    nst = int(os.environ.get("SCALE_STEPS", 4))
     t0 = time.time()
     se.fused_loop = False
-    se.run(4)
+    se.run(nst)
     dt = time.time() - t0
-    print(f"# 4 sharded NVE steps: {dt:.0f}s "
-          f"({state.natoms*4/dt:.2e} atom-steps/s on 1 CPU core)",
+    print(f"# {nst} sharded NVE steps: {dt:.0f}s "
+          f"({state.natoms*nst/dt:.2e} atom-steps/s on 1 CPU core)",
           flush=True)
     st = se.to_state()
     x = np.asarray(st.x)

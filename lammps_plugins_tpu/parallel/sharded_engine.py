@@ -660,8 +660,17 @@ class ShardedEngine:
                 or "cell_overflow" in bad or "candcell_overflow" in bad:
             pass
         requests = self.pair.neighbor_requests()
-        k_counts = {k.split(":", 2)[2]: max(16, -(-(int(v) + 2) // 16) * 16)
-                    for k, v in flags_np.items() if k.startswith("count:k:")}
+        # kmax high-water mark (see Engine._note_k_counts): never re-size
+        # below a count any shard has already measured — stops the
+        # grow<->tighten retrace oscillation on hot systems
+        hwm = getattr(self, "_k_hwm", {})
+        for k, v in flags_np.items():
+            if k.startswith("count:k:"):
+                name = k.split(":", 2)[2]
+                hwm[name] = max(hwm.get(name, 0), int(v))
+        self._k_hwm = hwm
+        k_counts = {name: max(16, -(-(v + 2) // 16) * 16)
+                    for name, v in hwm.items()}
         if any(k.startswith("k_overflow") for k in bad):
             k_counts = {k: -(-int(v * grow) // 16) * 16
                         for k, v in k_counts.items()}

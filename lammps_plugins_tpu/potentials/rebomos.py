@@ -549,10 +549,11 @@ class REBOMoS(PairStyle):
             dzT = g3[2] - xT[2:3, :]
         elif os.environ.get("LPT_DGT") == "self":
             # fold the center positions into the SAME row gather as the
-            # neighbors (row K = identity): the centers then arrive in
-            # the gather's native layout, deleting the xT column slices
-            # whose [Np] T(1024) VMEM prefetches showed as 2x3 per-step
-            # async copies in the trace (~0.66 ms each at 98k atoms)
+            # neighbors (row K = identity), deleting the xT column
+            # slices whose [Np] T(1024) VMEM prefetches showed as 2x3
+            # per-step async copies in the trace.  MEASURED NEUTRAL
+            # (3.19e6 vs 3.20e6 at-st/s at 98k): those copies overlap
+            # compute and are not on the critical path.  Kept flag-gated.
             idn = jnp.minimum(jnp.arange(Np, dtype=idxT.dtype), N - 1)
             idxT1 = jnp.concatenate([idxT, idn[None, :]], axis=0)
             rows = x_all[idxT1.reshape(-1)].reshape(K + 1, Np, 3)

@@ -278,9 +278,20 @@ class Script:
         mode = args[1]
         if mode == "single":
             # create_atoms <type> single x y z [units box|lattice]
+            # LAMMPS default is LATTICE units, scaled per-axis by the
+            # xlattice/ylattice/zlattice spacings (create_atoms doc)
             xyz = [float(v) for v in args[2:5]]
-            if "units" in args and args[args.index("units") + 1] != "box":
-                xyz = [c * self.lattice.scale for c in xyz]
+            units = "lattice"
+            if "units" in args:
+                units = args[args.index("units") + 1]
+            if units == "lattice":
+                if self.lattice is None:
+                    raise ScriptError(
+                        "Use of create_atoms with undefined lattice")
+                sp = self.lattice.spacings()
+                xyz = [c * sp[i] for i, c in enumerate(xyz)]
+            elif units != "box":
+                raise ScriptError(f"create_atoms units {units!r}")
             pos = np.asarray([xyz], dtype=np.float64)
             types = np.asarray([type0], dtype=np.int32)
             if self.positions is None:
@@ -493,6 +504,15 @@ class Script:
         Also: velocity <group> set vx vy vz [units box]."""
         if args[1] == "set":
             vals = [float(v) for v in args[2:5]]
+            rest = list(args[5:])
+            while rest:
+                key = rest.pop(0)
+                if key == "units" and rest and rest[0] == "box":
+                    rest.pop(0)
+                else:
+                    raise ScriptError(
+                        f"velocity set keyword {key!r} not supported "
+                        f"(only 'units box')")
             self._velocity_cmds.append((args[0], "set", vals, {}))
             self.engine = None
             return

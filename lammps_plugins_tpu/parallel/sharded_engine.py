@@ -513,11 +513,13 @@ class ShardedEngine:
                     ss.q, ss.tag)
             ov_mig = jnp.zeros((), bool)
             lost = jnp.zeros((), jnp.int32)
+            n_true = jnp.sum(valid)   # unclipped post-migration demand
             if Px > 1:
                 sx = jnp.clip((fw[:, 0] * Px).astype(jnp.int32), 0, Px - 1)
                 rows, n_new, ov, l_ = migrate_axis(
                     rows, valid, sx, dxi, Px, perm_xr, perm_xl)
                 valid = jnp.arange(n_cap) < n_new
+                n_true = n_new
                 ov_mig |= ov
                 lost += l_
             if Py > 1:
@@ -527,6 +529,7 @@ class ShardedEngine:
                 rows, n_new, ov, l_ = migrate_axis(
                     rows, valid, sy, dyi, Py, perm_yu, perm_yd)
                 valid = jnp.arange(n_cap) < n_new
+                n_true = n_new
                 ov_mig |= ov
                 lost += l_
 
@@ -591,7 +594,9 @@ class ShardedEngine:
             flags["mig_overflow"] = ov_mig
             flags["halo_overflow"] = ov_hx | ov_hy
             flags["lost_atoms"] = lost
-            flags["count:slab"] = jnp.sum(valid2)
+            # unclipped demand (not sum(valid2), which caps at n_cap) so
+            # _grow can size n_cap from the real requirement in one step
+            flags["count:slab"] = n_true
             flags["count:halo"] = nch_x
             flags["count:haloy"] = nch_y
             flags = {k: jax.lax.pmax(jnp.asarray(v).astype(jnp.int32), AXIS)

@@ -170,6 +170,9 @@ def minimize(engine, etol: float = 0.0, ftol: float = 1e-6,
             # rebuilds first (same guarantee level as Engine.run).
             engine.state = engine.state.replace(x=x)
             engine.rebuild_neighbors()
+            # rebuild wraps positions into the box; pick up the wrapped x
+            # so the redone chunk is consistent with the fresh list
+            x = engine.state.x
             fresh_list = True
             continue
         x, carry = x_new, carry_new

@@ -121,6 +121,15 @@ class RebuildPlan:
     # count:mirwin and overflow-flagged).
     mirror_window: int = 0
     mirror_chunk: int = 2048
+    # Block-sparse reaction-combine capacities (ops/react_pallas.py):
+    # NW = marked 128-column source blocks per 128-atom target chunk,
+    # KC = route depth (max edges from one source column into one target
+    # chunk).  0 disables (the step falls back to the XLA mirror gather);
+    # the rebuild measures the exact needed values every build
+    # (count:rnw/count:rkc) so the engine can ratchet them like kmax.
+    react_nw: int = 0
+    react_kc: int = 0
+    react_qr: int = 0          # packed scratch-row capacity (route loop)
     # Fractional (lattice-coordinate) coarse cells: the interior grid
     # tiles the primary prism EXACTLY with cell_dims-2 sheared cells per
     # dim (each of perpendicular width >= list_cut), so cell occupancy is
@@ -166,6 +175,34 @@ def choose_mirror_window(n: int, w_needed: int,
     return W, chunk
 
 
+def choose_react(n: int, nw_needed: int, kc_needed: int,
+                 rq_needed: int) -> Tuple[int, int, int]:
+    """(react_nw, react_kc, react_qr) policy from measured geometry.
+
+    Returns (0, 0, 0) to disable: small systems (the gather is cheap
+    there), unsorted scenes (nw/rq explode — the kernel's route loop is
+    linear in QR), or very deep routes.  LPT_REACT=0 force-disables;
+    LPT_REACT=force enables regardless of size (CPU parity tests)."""
+    import os
+    flag = os.environ.get("LPT_REACT", "1")
+    if flag in ("0", "off"):
+        return 0, 0, 0
+    if nw_needed <= 0 or kc_needed <= 0 or rq_needed <= 0:
+        return 0, 0, 0
+    nch = -(-n // 128)
+    if flag != "force" and (n < 16384 or nch > 2048):
+        # nch cap: route construction currently builds a dense
+        # [nch, nch] block-marking table (fine to ~2k chunks / 260k
+        # atoms); banded marking lifts this for 1M+ systems
+        return 0, 0, 0
+    NW = -(-int(nw_needed) // 4) * 4 + 4
+    KC = -(-int(kc_needed) // 2) * 2 + 2
+    QR = -(-int(rq_needed) // 16) * 16 + 16
+    if flag != "force" and (NW > 48 or KC > 12 or QR > 112):
+        return 0, 0, 0     # degraded spatial sort: kernel would lose
+    return NW, KC, QR
+
+
 def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
               ghost_count: int, max_cell_occupancy: int,
               k_counts: Dict[str, int], slack: float = 1.3,
@@ -175,7 +212,10 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
               k_final: bool = False,
               frac_cells: bool = True,
               mirror_window: int = 0,
-              mirror_chunk: int = 2048) -> RebuildPlan:
+              mirror_chunk: int = 2048,
+              react_nw: int = 0,
+              react_kc: int = 0,
+              react_qr: int = 0) -> RebuildPlan:
     """Derive static geometry + padded capacities from measured counts.
 
     max_cell_occupancy is the coarse-grid occupancy; cand_occupancy the
@@ -298,7 +338,9 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         mirror_tiers=tuple(sorted(mirror_tiers)),
         cell_mn=cell_mn, a_range=a_range, cell_frac=cell_frac,
         periodic=tuple(bool(p) for p in box.periodic),
-        mirror_window=int(mirror_window), mirror_chunk=int(mirror_chunk))
+        mirror_window=int(mirror_window), mirror_chunk=int(mirror_chunk),
+        react_nw=int(react_nw), react_kc=int(react_kc),
+        react_qr=int(react_qr))
 
 
 def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
@@ -718,6 +760,32 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
                 margin_max = jnp.max(jnp.where(mir_ok, margin_e, 0))
                 flags[f"count:mirwin:{name}"] = (
                     B + 2 * margin_max).astype(jnp.int32)
+                # block-sparse reaction-combine tables + measured route
+                # geometry (ops/react_pallas.py).  Counts are measured
+                # whenever the geometry is tractable so the engine can
+                # decide enablement; tables only when the plan carries
+                # capacities.  Sharded rebuilds (valid != None) keep the
+                # mirror-gather path for now.
+                nch_r = Np // 128
+                import os as _os
+                _rflag = _os.environ.get("LPT_REACT", "1")
+                if (valid is None and _rflag not in ("0", "off")
+                        and ((n >= 8192 and nch_r <= 2048)
+                             or _rflag == "force")):
+                    from ..ops.react_pallas import build_route_tables
+                    (rblocks, qoff, route, nw_n, kc_n, rq_n,
+                     r_ovf) = build_route_tables(
+                        idx, mask, mirror, ghosts.owner, n, K,
+                        plan.react_nw, plan.react_kc, plan.react_qr)
+                    flags[f"count:rnw:{name}"] = nw_n
+                    flags[f"count:rkc:{name}"] = kc_n
+                    flags[f"count:rq:{name}"] = rq_n
+                    if plan.react_nw > 0:
+                        flags[f"react_overflow:{name}"] = r_ovf
+                        tkw["rblocks"] = rblocks
+                        tkw["rqoff"] = qoff
+                        tkw["route"] = route
+                        tkw["react_qr"] = plan.react_qr
                 W = plan.mirror_window
                 if W > 0:
                     nch = -(-Np // B)

@@ -105,12 +105,21 @@ class NeighborList:
     #: probe_mirror17: the gather cost cliffs on operand physical size).
     mirW: jnp.ndarray | None = None    # [K, Np] int32 localized indices
     win0: jnp.ndarray | None = None    # [nch] int32 window starts (cyclic)
+    #: block-sparse reaction-combine tables (ops/react_pallas.py): per
+    #: 128-atom target chunk, the marked 128-column source blocks and the
+    #: packed (k_src << 8 | target_lane) route entries — the rebuild-time
+    #: structure that lets the step-time reaction accumulation run as
+    #: dense VPU work instead of the ~10 ms mirror gather
+    rblocks: jnp.ndarray | None = None  # [nch, NW] int32 source block ids
+    rqoff: jnp.ndarray | None = None    # [nch, NW] int32 packed row offsets
+    route: jnp.ndarray | None = None    # [nch, NW, KC, 128] int32 packed
     #: static window geometry (aux data, compile-time constants)
     mirwin: int | None = None          # W: window width in columns
     mirchunk: int | None = None        # B: output chunk width
+    react_qr: int | None = None        # QR: packed route-row capacity
 
     _OPT = ("jtype", "mirror", "idxT", "maskT", "jtypeT", "mirT", "mirvT",
-            "mirW", "win0")
+            "mirW", "win0", "rblocks", "rqoff", "route")
 
     def tree_flatten(self):
         children = [self.idx, self.mask]
@@ -118,14 +127,16 @@ class NeighborList:
         for f, have in zip(self._OPT, flags):
             if have:
                 children.append(getattr(self, f))
-        return tuple(children), (flags, self.mirwin, self.mirchunk)
+        return tuple(children), (flags, self.mirwin, self.mirchunk,
+                                 self.react_qr)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        flags, mirwin, mirchunk = aux
+        flags, mirwin, mirchunk, react_qr = aux
         it = iter(children)
         kw = {"idx": next(it), "mask": next(it),
-              "mirwin": mirwin, "mirchunk": mirchunk}
+              "mirwin": mirwin, "mirchunk": mirchunk,
+              "react_qr": react_qr}
         for f, have in zip(cls._OPT, flags):
             kw[f] = next(it) if have else None
         return cls(**kw)

@@ -658,6 +658,15 @@ class REBOMoS(PairStyle):
             gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
                                     consts_key=consts_key,
                                     interpret=interpret)
+            if rebo.route is not None:
+                # block-sparse reaction kernel (ops/react_pallas.py):
+                # the rebuild-time route tables turn the ~10 ms mirror
+                # gather into dense VPU work over spatially-local blocks
+                from ..ops.react_pallas import react_combine
+                F = react_combine(gx, gy, gz, rebo.rblocks, rebo.rqoff,
+                                  rebo.route, QR=rebo.react_qr,
+                                  interpret=interpret)
+                return F[:N]
             if rebo.mirW is not None:
                 # windowed combine: per-chunk gathers from cyclic
                 # sub-tables under the gather-class cliff

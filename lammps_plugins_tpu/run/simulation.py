@@ -245,6 +245,10 @@ class Engine:
             want_w = device_build.choose_mirror_window(
                 self.state.natoms, w_needed)[0]
             loose = loose or (want_w and not self._plan.mirror_window)
+            # block-sparse reaction combine: enable once the rebuild has
+            # measured the route geometry (ops/react_pallas.py)
+            want_r = self._choose_react_from(flags_np)[0]
+            loose = loose or (want_r and not self._plan.react_nw)
             if loose:
                 # 1.3 not 1.15: hot systems (e.g. 863 K sample.in) grow
                 # kmax after equilibration and every overflow re-size is a
@@ -291,6 +295,21 @@ class Engine:
                 name = k.split(":", 2)[2]
                 self._k_hwm[name] = max(self._k_hwm.get(name, 0), int(v))
 
+    def _choose_react_from(self, flags_np):
+        """(react_nw, react_kc, react_qr) from measured route geometry.
+
+        High-water-marked like kmax: the caps never shrink within a run,
+        so fluctuating counts cannot flip-flop retraces."""
+        from ..neighbor import device_build
+        hwm = getattr(self, "_react_hwm", [0, 0, 0])
+        for i, pref in enumerate(("count:rnw:", "count:rkc:", "count:rq:")):
+            vals = [int(v) for k, v in flags_np.items()
+                    if k.startswith(pref)]
+            if vals:
+                hwm[i] = max(hwm[i], max(vals))
+        self._react_hwm = hwm
+        return device_build.choose_react(self.state.natoms, *hwm)
+
     def _resize_plan(self, flags_np, grow: float):
         """New plan from measured counts (overflow recovery / tightening)."""
         from ..neighbor import device_build
@@ -325,6 +344,7 @@ class Engine:
             w_needed = int(w_needed * grow)
         mir_w, mir_b = device_build.choose_mirror_window(
             self.state.natoms, w_needed)
+        r_nw, r_kc, r_qr = self._choose_react_from(flags_np)
         self._plan = device_build.make_plan(
             self.state.box, requests, self.skin,
             int(flags_np["count:ghost"]), int(flags_np["count:cell"]),
@@ -332,7 +352,8 @@ class Engine:
             cell_tiers=getattr(self.pair, "cell_tiers", ()),
             mirror_tiers=getattr(self.pair, "mirror_tiers", ()),
             cand_occupancy=cand_occ,
-            mirror_window=mir_w, mirror_chunk=mir_b)
+            mirror_window=mir_w, mirror_chunk=mir_b,
+            react_nw=r_nw, react_kc=r_kc, react_qr=r_qr)
         self._seg_jit = None       # shapes change -> retrace
         self._loop_jit = None
 

@@ -52,64 +52,113 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import out_struct
 
 
-def _make_kernel(K: int, NW: int, KC: int, QR: int):
-    def kernel(rb_ref, qo_ref, gx_ref, gy_ref, gz_ref, rt_ref, gxo_ref,
-               gyo_ref, gzo_ref, out_ref, vs_ref, ls_ref):
-        c = pl.program_id(0)
-        w = pl.program_id(1)
+#: windows per stack-kernel grid step (amortizes program overhead; NW is
+#: quantized to a multiple of this by choose_react)
+WG = 4
+#: packed entries per route-kernel grid step (static in-block slicing;
+#: QR is quantized to a multiple of this)
+QB = 16
 
-        @pl.when(w == 0)
+
+def _make_stack_kernel(K: int, NW: int, KC: int, QR: int):
+    """Phase A: k-select each window's route entries from its G block and
+    stack them (packed offsets) into the per-chunk transposed entry
+    tables consumed by the route kernel."""
+    NWG = NW // WG
+
+    def kernel(rb_ref, qo_ref, *refs):
+        g_refs = refs[0:3 * WG]               # WG windows x (gx, gy, gz)
+        rt_ref = refs[3 * WG]
+        vx_ref, vy_ref, vz_ref, lt_ref = refs[3 * WG + 1:3 * WG + 5]
+        vs_ref, ls_ref = refs[3 * WG + 5:]
+        c = pl.program_id(0)
+        wg = pl.program_id(1)
+
+        @pl.when(wg == 0)
         def _():
             # stale lane ids from the previous chunk must not route: 255
             # never matches an output lane.  (Stale V values are harmless
             # once their lane is invalid, so vs needs no init.)
             ls_ref[...] = jnp.full((QR + KC, 128), 255, jnp.int32)
 
-        r = rt_ref[0, 0]                          # [KC, 128] int32
-        kk = r >> 8                               # -1 stays -1 (no match)
-        lane = jnp.bitwise_and(r, 255)            # invalid -> 255
+        dtype = vs_ref.dtype
+        for i in range(WG):
+            r = rt_ref[0, i]                      # [KC, 128] int32
+            kk = r >> 8                           # -1 stays -1 (no match)
+            lane = jnp.bitwise_and(r, 255)        # invalid -> 255
+            zero = jnp.zeros((KC, 128), dtype)
+            vx, vy, vz = zero, zero, zero
+            gxw, gyw, gzw = g_refs[3 * i:3 * i + 3]
+            for k in range(K):
+                m = kk == k
+                vx = jnp.where(m, gxw[k:k + 1, :], vx)
+                vy = jnp.where(m, gyw[k:k + 1, :], vy)
+                vz = jnp.where(m, gzw[k:k + 1, :], vz)
+            q0 = qo_ref[c, wg * WG + i]
+            # blocks write their full [KC, 128] slab at the packed
+            # offset; rows past a block's real depth are overwritten by
+            # the next block (same offset) or stay lane-invalid from the
+            # wg==0 init
+            vs_ref[0, pl.ds(q0, KC), :] = vx
+            vs_ref[1, pl.ds(q0, KC), :] = vy
+            vs_ref[2, pl.ds(q0, KC), :] = vz
+            ls_ref[pl.ds(q0, KC), :] = lane
 
-        dtype = gx_ref.dtype
-        zero = jnp.zeros((KC, 128), dtype)
-        vx, vy, vz = zero, zero, zero
-        for k in range(K):
-            m = kk == k
-            vx = jnp.where(m, gx_ref[k:k + 1, :], vx)
-            vy = jnp.where(m, gy_ref[k:k + 1, :], vy)
-            vz = jnp.where(m, gz_ref[k:k + 1, :], vz)
-        q0 = qo_ref[c, w]
-        # blocks write their full [KC, 128] slab at the packed offset;
-        # rows past a block's real depth are overwritten by the next
-        # block (same offset) or stay lane-invalid from the w==0 init
-        vs_ref[0, pl.ds(q0, KC), :] = vx
-        vs_ref[1, pl.ds(q0, KC), :] = vy
-        vs_ref[2, pl.ds(q0, KC), :] = vz
-        ls_ref[pl.ds(q0, KC), :] = lane
-
-        @pl.when(w == NW - 1)
+        @pl.when(wg == NWG - 1)
         def _():
-            # route the stacked selected values to their target lanes
-            vxt = jnp.swapaxes(vs_ref[0], 0, 1)   # [128, QR + KC]
+            # emit [NJ, 128, QB] per chunk: the route kernel's BlockSpec
+            # needs its last dim full (QB) — lane-dim blocks must be
+            # 128-divisible or whole
+            vxt = jnp.swapaxes(vs_ref[0], 0, 1)       # [128, QR + KC]
             vyt = jnp.swapaxes(vs_ref[1], 0, 1)
             vzt = jnp.swapaxes(vs_ref[2], 0, 1)
             lst = jnp.swapaxes(ls_ref[...], 0, 1)
-            iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-            zacc = jnp.zeros((128, 128), dtype)
-            ax, ay, az = zacc, zacc, zacc
-            for q in range(QR):
-                mq = lst[:, q:q + 1] == iota_l    # [128, 128]
-                ax = ax + jnp.where(mq, vxt[:, q:q + 1], 0.0)
-                ay = ay + jnp.where(mq, vyt[:, q:q + 1], 0.0)
-                az = az + jnp.where(mq, vzt[:, q:q + 1], 0.0)
-            fx = jnp.sum(gxo_ref[...], axis=0, keepdims=True) \
-                - jnp.sum(ax, axis=0, keepdims=True)
-            fy = jnp.sum(gyo_ref[...], axis=0, keepdims=True) \
-                - jnp.sum(ay, axis=0, keepdims=True)
-            fz = jnp.sum(gzo_ref[...], axis=0, keepdims=True) \
-                - jnp.sum(az, axis=0, keepdims=True)
-            zrow = jnp.zeros((1, 128), dtype)
-            out_ref[...] = jnp.concatenate(
-                [fx, fy, fz, zrow, zrow, zrow, zrow, zrow], axis=0)
+            for j in range(QR // QB):
+                sl = slice(j * QB, (j + 1) * QB)
+                vx_ref[0, j] = vxt[:, sl]
+                vy_ref[0, j] = vyt[:, sl]
+                vz_ref[0, j] = vzt[:, sl]
+                lt_ref[0, j] = lst[:, sl]
+
+    return kernel
+
+
+def _make_route_kernel(QR: int):
+    """Phase B: one-hot lane routing of the stacked entries.
+
+    Grid (nch, QR // QB): every slice index is static (Mosaic rejects
+    unaligned dynamic lane indices) and the only cross-step state is the
+    [8, 128] accumulator in scratch — the fori/rotating-carry forms spent
+    ~700 cycles/entry on register-carry spills."""
+    NJ = QR // QB
+
+    def kernel(vx_ref, vy_ref, vz_ref, lt_ref, out_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        dtype = vx_ref.dtype
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        zacc = jnp.zeros((128, 128), dtype)
+        ax, ay, az = zacc, zacc, zacc
+        lr = lt_ref[0, 0]                         # [128, QB]
+        for q in range(QB):
+            mq = lr[:, q:q + 1] == iota_l         # [128, 128]
+            ax = ax + jnp.where(mq, vx_ref[0, 0, :, q:q + 1], 0.0)
+            ay = ay + jnp.where(mq, vy_ref[0, 0, :, q:q + 1], 0.0)
+            az = az + jnp.where(mq, vz_ref[0, 0, :, q:q + 1], 0.0)
+        acc_ref[0:1, :] = acc_ref[0:1, :] + jnp.sum(ax, axis=0,
+                                                    keepdims=True)
+        acc_ref[1:2, :] = acc_ref[1:2, :] + jnp.sum(ay, axis=0,
+                                                    keepdims=True)
+        acc_ref[2:3, :] = acc_ref[2:3, :] + jnp.sum(az, axis=0,
+                                                    keepdims=True)
+
+        @pl.when(j == NJ - 1)
+        def _():
+            out_ref[...] = acc_ref[...]
 
     return kernel
 
@@ -125,51 +174,76 @@ def react_combine(gx, gy, gz, rblocks, qoff, route, QR: int,
       qoff: [nch, NW] int32 packed scratch-row offset per window.
       route: [nch, NW, KC, 128] int32 packed (k_src << 8) | target_lane,
         -1 for invalid slots.
-      QR: static packed-row capacity (route-loop bound).
+      QR: static packed-row capacity (multiple of QB).
     Returns F [Np, 3] forces (own-row sum minus routed reaction sum).
     """
     K, Np = gx.shape
     nch, NW, KC, _ = route.shape
-    kernel = _make_kernel(K, NW, KC, QR)
+    assert NW % WG == 0 and QR % QB == 0, (NW, QR)
 
-    def gblk(c, w, rb, qo):
-        return (0, rb[c, w])
+    stack_kernel = _make_stack_kernel(K, NW, KC, QR)
 
-    def gown(c, w, rb, qo):
-        return (0, c)
+    def gblk(i):
+        return lambda c, wg, rb, qo: (0, rb[c, wg * WG + i])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nch, NW),
-        in_specs=[
-            pl.BlockSpec((K, 128), gblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 128), gblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 128), gblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, KC, 128),
-                         lambda c, w, rb, qo: (c, w, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 128), gown, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 128), gown, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 128), gown, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, 128), lambda c, w, rb, qo: (0, c),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((3, QR + KC, 128), gx.dtype),
-            pltpu.VMEM((QR + KC, 128), jnp.int32),
-        ],
-    )
-    F = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_struct((8, Np), gx.dtype, gx),
+    in_specs = []
+    for i in range(WG):
+        in_specs += [pl.BlockSpec((K, 128), gblk(i),
+                                  memory_space=pltpu.VMEM)] * 3
+    in_specs.append(pl.BlockSpec((1, WG, KC, 128),
+                                 lambda c, wg, rb, qo: (c, wg, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    NJ = QR // QB
+    tstruct = out_struct((nch, NJ, 128, QB), gx.dtype, gx)
+    lstruct = out_struct((nch, NJ, 128, QB), jnp.int32, gx)
+    tspec = pl.BlockSpec((1, NJ, 128, QB),
+                         lambda c, wg, rb, qo: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vxt, vyt, vzt, lt = pl.pallas_call(
+        stack_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nch, NW // WG),
+            in_specs=in_specs,
+            out_specs=(tspec, tspec, tspec, tspec),
+            scratch_shapes=[
+                pltpu.VMEM((3, QR + KC, 128), gx.dtype),
+                pltpu.VMEM((QR + KC, 128), jnp.int32),
+            ],
+        ),
+        out_shape=(tstruct, tstruct, tstruct, lstruct),
         cost_estimate=pl.CostEstimate(
-            flops=nch * (NW * KC * 128 * K * 4 + QR * 128 * 128 * 7),
-            bytes_accessed=nch * NW * (K + KC) * 128 * 4,
+            flops=nch * NW * KC * 128 * K * 4,
+            bytes_accessed=nch * NW * (3 * K + KC) * 128 * 4,
             transcendentals=0),
         interpret=interpret,
-    )(rblocks, qoff, gx, gy, gz, route, gx, gy, gz)
-    return jnp.swapaxes(F[0:3], 0, 1)
+    )(rblocks, qoff, gx, gy, gz, gx, gy, gz, gx, gy, gz, gx, gy, gz,
+      route)
+
+    route_kernel = _make_route_kernel(QR)
+    bspec = pl.BlockSpec((1, 1, 128, QB), lambda c, j: (c, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    R = pl.pallas_call(
+        route_kernel,
+        grid=(nch, QR // QB),
+        in_specs=[bspec, bspec, bspec, bspec],
+        out_specs=pl.BlockSpec((8, 128), lambda c, j: (0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_struct((8, Np), gx.dtype, gx),
+        scratch_shapes=[pltpu.VMEM((8, 128), gx.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=nch * QR * 128 * 128 * 7,
+            bytes_accessed=nch * QR * 128 * 16, transcendentals=0),
+        interpret=interpret,
+    )(vxt, vyt, vzt, lt)
+
+    # own-row sums and the combine stay in XLA (they fuse with the
+    # surrounding step; keeping them out of the kernels also drops the
+    # redundant own-block DMAs)
+    fx = jnp.sum(gx, axis=0) - R[0]
+    fy = jnp.sum(gy, axis=0) - R[1]
+    fz = jnp.sum(gz, axis=0) - R[2]
+    return jnp.stack([fx, fy, fz], axis=-1)
 
 
 def build_route_tables(idx, mask, mirror, owner, n: int, K: int,

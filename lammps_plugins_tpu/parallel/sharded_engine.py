@@ -850,6 +850,53 @@ class ShardedEngine:
             local, mesh=self.mesh, in_specs=(spec, spec, spec),
             out_specs=spec, **_smap_kwargs()))
 
+    def _build_halo_probe(self):
+        """Standalone per-step halo refresh (export gathers + ppermutes +
+        halo assembly) — the piece of every fused step that is
+        communication.  Timed once to split the Comm section out of Pair
+        (the reference prints Comm = 5.67% on 4 ranks,
+        log.rebomos-bulk.4:65-67; fusion makes direct in-step timing
+        impossible without breaking the loop)."""
+        halo_positions = self._halo_fn()
+
+        def local(ss, halo):
+            ss = _sq(ss)
+            halo = _sq(halo)
+            d = jax.lax.axis_index(AXIS)
+            x_loc = halo_positions(ss.x, halo, d)
+            return jnp.sum(x_loc)[None]
+
+        spec = P(AXIS)
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=(spec, spec),
+            out_specs=spec, **_smap_kwargs()))
+
+    def _comm_cost_estimate(self) -> float:
+        """Measured warm per-step halo-exchange cost (seconds)."""
+        cost = getattr(self, "_comm_cost", None)
+        if cost is not None:
+            return cost
+        import time as _time
+        probe = self._build_halo_probe()
+        out = probe(self.shards, self.halo)
+        jax.block_until_ready(out)
+        reps = 5
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            out = probe(self.shards, self.halo)
+        jax.block_until_ready(out)
+        self._comm_cost = (_time.perf_counter() - t0) / reps
+        return self._comm_cost
+
+    def _note_comm(self, nsteps: int):
+        """Re-attribute the halo-exchange share of a fused span from Pair
+        to Comm (same mechanism as the in-loop Neigh attribution)."""
+        try:
+            self.timers.transfer("Pair", "Comm",
+                                 nsteps * self._comm_cost_estimate())
+        except Exception:
+            pass      # observability must never kill a run
+
     def _setup_forces(self):
         if self.nbr is None:
             self.resettle()
@@ -1130,6 +1177,7 @@ class ShardedEngine:
                                   "falling back to the per-segment loop")
                     self.fused_loop = False
                     continue
+                self._note_comm(m)
                 done += m
                 if thermo_every and done % thermo_every == 0:
                     emit()
@@ -1155,6 +1203,7 @@ class ShardedEngine:
                         self.resettle()
             else:
                 self.shards = new_ss
+            self._note_comm(seg)
             done += seg
             if thermo_every and done % thermo_every == 0:
                 emit()

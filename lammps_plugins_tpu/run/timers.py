@@ -23,7 +23,7 @@ from typing import Dict
 
 
 class Timers:
-    SECTIONS = ("Pair", "Neigh", "Output", "Other")
+    SECTIONS = ("Pair", "Neigh", "Comm", "Output", "Other")
 
     def __init__(self):
         self.acc: Dict[str, float] = {s: 0.0 for s in self.SECTIONS}
@@ -77,7 +77,7 @@ class Timers:
         other = wall - sum(self.acc.values())
         rows = dict(self.acc)
         rows["Other"] = rows.get("Other", 0.0) + max(other, 0.0)
-        for name in ("Pair", "Neigh", "Output", "Other"):
+        for name in ("Pair", "Neigh", "Comm", "Output", "Other"):
             t = rows.get(name, 0.0)
             lines.append(f"{name:<7} | {t:6.4g} | {100*t/wall:5.2f}")
         return "\n".join(lines)

@@ -416,3 +416,17 @@ def test_sharded_2d_static_energy_forces():
     f2 = np.asarray(se.to_state().f)
     np.testing.assert_allclose(f2, np.asarray(eng.state.f),
                                atol=1e-11, rtol=1e-10)
+
+
+def test_sharded_comm_timer_nonzero():
+    """Sharded runs report a nonzero Comm section (the reference prints
+    Comm = 5.67% on 4 ranks, log.rebomos-bulk.4:65-67); single-chip runs
+    report none."""
+    state = rebomos_bulk(nx=12, ny=8, nz=2, tilt_xy=0.0)
+    pair = REBOMoS.from_file(REBO_FILE, ["M", "S"])
+    se = ShardedEngine(state, pair, [FixNVE()], units.METAL,
+                       n_devices=4, check_every=5)
+    se.run(10)
+    assert se.timers.acc.get("Comm", 0.0) > 0.0
+    summary = se.timers.performance_summary(units.METAL.dt)
+    assert "Comm" in summary

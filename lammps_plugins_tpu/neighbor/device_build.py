@@ -181,10 +181,20 @@ def choose_react(n: int, nw_needed: int, kc_needed: int,
 
     Returns (0, 0, 0) to disable: small systems (the gather is cheap
     there), unsorted scenes (nw/rq explode — the kernel's route loop is
-    linear in QR), or very deep routes.  LPT_REACT=0 force-disables;
-    LPT_REACT=force enables regardless of size (CPU parity tests)."""
+    linear in QR), or very deep routes.
+
+    DEFAULT OFF — measured loss at 98k atoms (round 4): the stack+route
+    kernels run 4.4 + 7.8 ms/step in-loop (xplane trace) vs ~11.4 ms for
+    the mirror gather they replace; the one-hot routing's ~1.0G
+    (entry x output-lane) compare-accumulate cells run at ~1 vreg-op/
+    cycle on the v5e VPU, a ~7 ms floor that no layout variant beat
+    (fori rotating-carry 46 ms from register-carry spills, 8-wide
+    roll 11 ms, grid-step static slicing 7.8 ms).  Kept behind
+    LPT_REACT=1|force with full parity coverage, same standard as the
+    other measured mirror experiments.  LPT_REACT=force enables
+    regardless of size (CPU parity tests)."""
     import os
-    flag = os.environ.get("LPT_REACT", "1")
+    flag = os.environ.get("LPT_REACT", "0")
     if flag in ("0", "off"):
         return 0, 0, 0
     if nw_needed <= 0 or kc_needed <= 0 or rq_needed <= 0:
@@ -768,7 +778,7 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
                 # mirror-gather path for now.
                 nch_r = Np // 128
                 import os as _os
-                _rflag = _os.environ.get("LPT_REACT", "1")
+                _rflag = _os.environ.get("LPT_REACT", "0")
                 if (valid is None and _rflag not in ("0", "off")
                         and ((n >= 8192 and nch_r <= 2048)
                              or _rflag == "force")):

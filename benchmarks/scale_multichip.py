@@ -56,7 +56,9 @@ def main():
 
     t0 = time.time()
     se = ShardedEngine(state, pair, [FixNVE()], units.METAL,
-                       n_devices=8, check_every=4, skin=1.0)
+                       n_devices=8,
+                       check_every=int(os.environ.get("SCALE_CHECK", 2)),
+                       skin=1.0)
     print(f"# shard packing: {time.time()-t0:.0f}s "
           f"(n_cap {se.n_cap}, halo cap {se.Bh})", flush=True)
 
@@ -80,6 +82,10 @@ def main():
     print(f"# {nst} sharded NVE steps: {dt:.0f}s "
           f"({state.natoms*nst/dt:.2e} atom-steps/s on 1 CPU core)",
           flush=True)
+    pe2 = se.potential_energy()
+    print(f"# PE/atom after {nst} steps: {pe2/state.natoms:.6f} eV "
+          f"(drift {abs(pe2-pe)/state.natoms/max(nst,1):.3e} "
+          f"eV/step/atom potential-energy change)", flush=True)
     st = se.to_state()
     x = np.asarray(st.x)
     assert np.isfinite(x).all()

@@ -130,6 +130,9 @@ class RebuildPlan:
     react_nw: int = 0
     react_kc: int = 0
     react_qr: int = 0          # packed scratch-row capacity (route loop)
+    # boundary-atom capacity for the two-stage ghost compaction (0 =
+    # single-stage); measured each rebuild as count:bnd and ratcheted
+    bnd_capacity: int = 0
     # Fractional (lattice-coordinate) coarse cells: the interior grid
     # tiles the primary prism EXACTLY with cell_dims-2 sheared cells per
     # dim (each of perpendicular width >= list_cut), so cell occupancy is
@@ -225,7 +228,8 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
               mirror_chunk: int = 2048,
               react_nw: int = 0,
               react_kc: int = 0,
-              react_qr: int = 0) -> RebuildPlan:
+              react_qr: int = 0,
+              bnd_count: int = 0) -> RebuildPlan:
     """Derive static geometry + padded capacities from measured counts.
 
     max_cell_occupancy is the coarse-grid occupancy; cand_occupancy the
@@ -350,7 +354,8 @@ def make_plan(box: Box, requests: Dict[str, np.ndarray], skin: float,
         periodic=tuple(bool(p) for p in box.periodic),
         mirror_window=int(mirror_window), mirror_chunk=int(mirror_chunk),
         react_nw=int(react_nw), react_kc=int(react_kc),
-        react_qr=int(react_qr))
+        react_qr=int(react_qr),
+        bnd_capacity=pad8(bnd_count) if bnd_count > 0 else 0)
 
 
 def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
@@ -389,6 +394,10 @@ def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
             cell_vol = vol / float(np.prod(m_frac))
     occupancy = int(rho * cell_vol * 1.2) + 8
     cand_occ = int(rho * cand_size ** 3 * 1.2) + 4
+    # boundary-atom estimate for the two-stage ghost compaction
+    bnd_frac = 1.0 - float(np.prod([max(1.0 - 2.0 * m, 0.0)
+                                    for m in margins]))
+    bnd_count = int(natoms * bnd_frac * 1.3) + 64
     # per-center-type neighbor count: sum over neighbor types of the
     # composition-weighted cutoff ball (a max-cutoff ball overestimates
     # mixed-cutoff lists by ~2x, which doubles the K^2 angular memory)
@@ -412,7 +421,8 @@ def make_plan_from_density(box: Box, requests: Dict[str, np.ndarray],
                                  * (float(np.max(c)) + skin) ** 3 * 1.1) + 8
     return make_plan(box, requests, skin, ghost_count, occupancy, k_counts,
                      slack=slack, cell_tiers=cell_tiers,
-                     cand_occupancy=cand_occ, mirror_tiers=mirror_tiers)
+                     cand_occupancy=cand_occ, mirror_tiers=mirror_tiers,
+                     bnd_count=bnd_count)
 
 
 def _bin_dense(x_all, valid_row, mn, size, dims, capacity, m_all,
@@ -562,19 +572,50 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     image = image + shift.astype(jnp.int32)
 
     # -- ghost-image compaction --------------------------------------------
+    # Two-stage: only atoms within a periodic margin of some face can be
+    # any image's owner, so compact the [N] boundary set first, then run
+    # the [S, Nb] image test over it.  The direct [S*N] nonzero's
+    # cumsum/scatter ran at ~9 ns/elem (22 ms/rebuild at 98k atoms,
+    # profiled) and scales with S*N at 1M+ atoms; the boundary set is
+    # ~20% of N, so the big compaction shrinks ~5x.
     shifts = jnp.asarray(np.array(plan.shifts), dtype)          # [S,3]
     margins = jnp.asarray(np.array(plan.margins), dtype)
-    fi = fw[None, :, :] + shifts[:, None, :]                    # [S,N,3]
-    keep = jnp.all((fi >= -margins) & (fi <= 1.0 + margins), axis=-1)
-    if valid is not None:
-        keep = keep & valid[None, :]
-    flat = keep.reshape(-1)
     Mg = plan.ghost_capacity
-    (sel,) = jnp.nonzero(flat, size=Mg, fill_value=-1)
-    ghost_valid = sel >= 0
-    sel_safe = jnp.maximum(sel, 0)
-    owner = (sel_safe % n).astype(jnp.int32)
-    gshift = shifts[sel_safe // n]
+    Nb = plan.bnd_capacity
+    near = (fw <= margins) | (fw >= 1.0 - margins)
+    per = jnp.asarray(np.array([m > 0 for m in plan.margins]))
+    bnd = jnp.any(near & per[None, :], axis=1)
+    if valid is not None:
+        bnd = bnd & valid
+    flags_bnd = {"count:bnd": jnp.sum(bnd)}
+    if 0 < Nb < n:
+        (bsel,) = jnp.nonzero(bnd, size=Nb, fill_value=-1)
+        flags_bnd["bnd_overflow"] = jnp.sum(bnd) > Nb
+        b_safe = jnp.maximum(bsel, 0)
+        fwb = fw[b_safe]                                        # [Nb,3]
+        fi = fwb[None, :, :] + shifts[:, None, :]               # [S,Nb,3]
+        keep = jnp.all((fi >= -margins) & (fi <= 1.0 + margins), axis=-1)
+        keep = keep & (bsel >= 0)[None, :]
+        flat = keep.reshape(-1)
+        (selb,) = jnp.nonzero(flat, size=Mg, fill_value=-1)
+        ghost_valid = selb >= 0
+        sb_safe = jnp.maximum(selb, 0)
+        owner = b_safe[sb_safe % Nb].astype(jnp.int32)
+        gshift = shifts[sb_safe // Nb]
+        # shift-slot index for the mirror table (slot 0 = identity)
+        sidx_from_sel = (sb_safe // Nb).astype(jnp.int32) + 1
+    else:
+        fi = fw[None, :, :] + shifts[:, None, :]                # [S,N,3]
+        keep = jnp.all((fi >= -margins) & (fi <= 1.0 + margins), axis=-1)
+        if valid is not None:
+            keep = keep & valid[None, :]
+        flat = keep.reshape(-1)
+        (sel,) = jnp.nonzero(flat, size=Mg, fill_value=-1)
+        ghost_valid = sel >= 0
+        sel_safe = jnp.maximum(sel, 0)
+        owner = (sel_safe % n).astype(jnp.int32)
+        gshift = shifts[sel_safe // n]
+        sidx_from_sel = (sel_safe // n).astype(jnp.int32) + 1
     # park invalid ghosts far away via an absurd shift
     gshift = jnp.where(ghost_valid[:, None], gshift, 1e5)
     ghost_overflow = jnp.sum(flat) > Mg
@@ -591,7 +632,7 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
     t_pad = jnp.concatenate([t_all, jnp.zeros(1, t_all.dtype)])
 
     flags = {"ghost_overflow": ghost_overflow,
-             "count:ghost": jnp.sum(flat)}
+             "count:ghost": jnp.sum(flat), **flags_bnd}
     lists = {}
 
     # -- [N, K] tiers: fine-grid candidates, all data moved by ROW gathers --
@@ -634,8 +675,7 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
         planes = [tmp4[..., a] for a in range(3)]
 
         # ghost shift slots for the mirror-edge table (slot 0 = identity)
-        sidx_ghost = (sel_safe // n).astype(jnp.int32) + 1
-        sidx_ghost = jnp.where(ghost_valid, sidx_ghost, 0)
+        sidx_ghost = jnp.where(ghost_valid, sidx_from_sel, 0)
         inv_sidx = _inverse_shift_perm(plan.shifts)
         use_select_k = _select_k_mode()
         # atom ids ride through select_k as f32 payloads — exact only for

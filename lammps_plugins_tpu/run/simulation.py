@@ -179,11 +179,17 @@ class Engine:
                             np.array(plan0.cell_mn))
         occ_f = occupancy(x_all, plan0.cand_dims, plan0.cand_size,
                           np.array(plan0.grid_mn))
+        # boundary-atom count for the two-stage ghost compaction
+        hinv = np.linalg.inv(h)
+        fr = (x_np - self.state.box.lo_np()) @ hinv
+        fr -= np.floor(fr)
+        mg = np.array(plan0.margins)
+        bnd = int((((fr <= mg) | (fr >= 1.0 - mg)) & (mg > 0)).any(1).sum())
         self._plan = device_build.make_plan(
             self.state.box, requests, self.skin, ghost_count, occ, k_counts,
             slack=slack, cell_tiers=getattr(self.pair, "cell_tiers", ()),
             mirror_tiers=getattr(self.pair, "mirror_tiers", ()),
-            cand_occupancy=occ_f)
+            cand_occupancy=occ_f, bnd_count=int(bnd * 1.2) + 64)
         dtype = self.state.x.dtype
         self._cut_mats_dev = {k: jnp.asarray(v, dtype)
                               for k, v in requests.items()}
@@ -345,6 +351,10 @@ class Engine:
         mir_w, mir_b = device_build.choose_mirror_window(
             self.state.natoms, w_needed)
         r_nw, r_kc, r_qr = self._choose_react_from(flags_np)
+        bnd_m = int(flags_np.get("count:bnd", 0))
+        self._bnd_hwm = max(getattr(self, "_bnd_hwm", 0), bnd_m)
+        bnd_c = (int(self._bnd_hwm * (1.2 if grow <= 1.3 else grow)) + 64
+                 if self._bnd_hwm else 0)
         self._plan = device_build.make_plan(
             self.state.box, requests, self.skin,
             int(flags_np["count:ghost"]), int(flags_np["count:cell"]),
@@ -353,7 +363,8 @@ class Engine:
             mirror_tiers=getattr(self.pair, "mirror_tiers", ()),
             cand_occupancy=cand_occ,
             mirror_window=mir_w, mirror_chunk=mir_b,
-            react_nw=r_nw, react_kc=r_kc, react_qr=r_qr)
+            react_nw=r_nw, react_kc=r_kc, react_qr=r_qr,
+            bnd_count=bnd_c)
         self._seg_jit = None       # shapes change -> retrace
         self._loop_jit = None
 

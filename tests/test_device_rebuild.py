@@ -265,3 +265,39 @@ def test_k_overflow_recovery_widens_headroom(rebo_file):
     np.testing.assert_allclose(np.asarray(eng_f.state.x),
                                np.asarray(eng_h.state.x),
                                rtol=1e-13, atol=1e-13)
+
+
+def test_two_stage_ghost_compaction_matches_host(rebo_file):
+    """A box large enough that the boundary-atom prefilter engages
+    (bnd_capacity < n) must produce exactly the same ghost set as the
+    single-stage compaction (same margin criterion, different pipeline) —
+    the two-stage form is the rebuild's round-4 hot-path change and
+    small test boxes fall back to the single-stage form."""
+    state = rebomos_bulk(nx=24, ny=24, nz=8, tilt_xy=0.0)
+    pair = REBOMoS.from_file(rebo_file, ["M", "S"])
+
+    eng = Engine(state, pair, [FixNVE()], units.METAL,
+                 device_rebuild=True)
+    eng.rebuild_neighbors()
+    plan2 = eng._plan
+    assert 0 < plan2.bnd_capacity < state.natoms, \
+        "two-stage path not engaged; enlarge the scene"
+
+    def ghost_set(plan):
+        from lammps_plugins_tpu.neighbor import device_build
+        h, h_inv, lo = eng._box_dev
+        _, _, nbr, flags = device_build.device_rebuild(
+            plan, eng.state.x, eng.state.image, eng.state.type,
+            h, h_inv, lo, eng._cut_mats_dev)
+        assert not any(bool(v) for k, v in jax.device_get(flags).items()
+                       if "overflow" in k)
+        ow = np.asarray(nbr.ghosts.owner)
+        sh = np.asarray(nbr.ghosts.shift)
+        ok = np.abs(sh).max(axis=1) < 2     # parked rows carry 1e5
+        return {(int(o), int(a), int(b), int(c))
+                for o, (a, b, c) in zip(ow[ok], sh[ok].astype(int))}
+
+    plan1 = dataclasses.replace(plan2, bnd_capacity=0)
+    s2 = ghost_set(plan2)
+    s1 = ghost_set(plan1)
+    assert s1 == s2 and len(s1) > 1000

@@ -96,5 +96,7 @@ def main():
 
 
 if __name__ == "__main__":
-    threading.Thread(target=_watchdog, args=(7200,), daemon=True).start()
+    threading.Thread(target=_watchdog,
+                     args=(int(os.environ.get("SCALE_WATCHDOG", 7200)),),
+                     daemon=True).start()
     main()

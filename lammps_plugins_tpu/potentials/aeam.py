@@ -469,7 +469,15 @@ class AEAM(PairStyle):
     def _poly_pair_terms(self, ei, ej, r, cut_ij):
         """(f_ij, f'_ij, f'_ji, phi'_ij) per edge from the piecewise
         Chebyshev refits (see polyfit.py for the fidelity statement).
-        Replaces the fused 21-wide spline-row gather of the exact path."""
+        Replaces the fused 21-wide spline-row gather of the exact path.
+
+        Coefficient selection is two-level: one 7-deep segment-select
+        chain per type-pair CORNER, then an exact bilinear combine over
+        the element codes (the LJ-kernel constant trick) — the corner
+        chains are shared between the (ei,ej) and (ej,ei) directions, so
+        this costs ~30% fewer selects than the flat 32-code chain it
+        replaces (the chains were ~1.2k VPU ops per edge, the single
+        hottest item of the AEAM step at K=176)."""
         from .polyfit import U0, NSEG, DEG
         inv_cut = 1.0 / cut_ij
         u = r * inv_cut
@@ -478,30 +486,59 @@ class AEAM(PairStyle):
         seg = jnp.floor(t).astype(jnp.int32)
         v = 2.0 * (t - seg) - 1.0
         dv_dr = (2.0 * NSEG / (1.0 - U0)) * inv_cut
-        code_f = (ei * self.nel + ej) * NSEG + seg
-        code_r = (ej * self.nel + ei) * NSEG + seg
-        fco = self.poly.f_coef.reshape(-1, DEG + 1)
-        pco = self.poly.phi_coef.reshape(-1, DEG + 1)
+        nel = self.nel
+        fco = np.asarray(self.poly.f_coef).reshape(nel, nel, NSEG, DEG + 1)
+        pco = np.asarray(self.poly.phi_coef).reshape(nel, nel, NSEG,
+                                                     DEG + 1)
+        eif = ei.astype(self.dtype)
+        ejf = ej.astype(self.dtype)
+        eijf = eif * ejf
 
-        def horner(cs, want_val, want_der):
-            val = der = None
-            if want_val:
-                val = cs[DEG]
-                for k in range(DEG - 1, -1, -1):
-                    val = val * v + cs[k]
-            if want_der:
-                der = DEG * cs[DEG]
-                for k in range(DEG - 1, 0, -1):
-                    der = der * v + k * cs[k]
-                der = der * dv_dr
-            return val, der
+        def seg_chain(col):
+            """Per-edge scalar from a [NSEG] column via a select chain."""
+            out = jnp.full(r.shape, float(col[0]), self.dtype)
+            for s_ in range(1, NSEG):
+                out = jnp.where(seg == s_, float(col[s_]), out)
+            return out
 
-        f_ij, fp_ij = horner(self._poly_chain(code_f, r.shape, fco),
-                             True, True)
-        _, fp_ji = horner(self._poly_chain(code_r, r.shape, fco),
-                          False, True)
-        _, phip = horner(self._poly_chain(code_f, r.shape, pco),
-                         False, True)
+        def corner_coeffs(tab, k):
+            """(c00, c10-c00, c01-c00, c11-c10-c01+c00) per-edge scalars
+            for coefficient k (bilinear deltas precomputed in numpy)."""
+            c00 = tab[0, 0, :, k]
+            d10 = tab[min(1, nel - 1), 0, :, k] - c00
+            d01 = tab[0, min(1, nel - 1), :, k] - c00
+            d11 = (tab[min(1, nel - 1), min(1, nel - 1), :, k]
+                   - tab[min(1, nel - 1), 0, :, k]
+                   - tab[0, min(1, nel - 1), :, k] + c00)
+            return (seg_chain(c00), seg_chain(d10), seg_chain(d01),
+                    seg_chain(d11))
+
+        def horner_pair(tab, want_val, want_rev):
+            """Horner in v for (ei,ej) [+ derivative] and optionally the
+            (ej,ei) derivative, sharing the corner chains."""
+            val = der = der_r = None
+            for k in range(DEG, -1, -1):
+                c00, d10, d01, d11 = corner_coeffs(tab, k)
+                cf = c00 + d10 * eif + d01 * ejf + d11 * eijf
+                if want_val:
+                    val = cf if val is None else val * v + cf
+                if der is None:
+                    if k > 0:
+                        der = DEG * cf
+                elif k > 0:
+                    der = der * v + k * cf
+                if want_rev:
+                    cr = c00 + d10 * ejf + d01 * eif + d11 * eijf
+                    if der_r is None:
+                        if k > 0:
+                            der_r = DEG * cr
+                    elif k > 0:
+                        der_r = der_r * v + k * cr
+            return (val, None if der is None else der * dv_dr,
+                    None if der_r is None else der_r * dv_dr)
+
+        f_ij, fp_ij, fp_ji = horner_pair(fco, True, True)
+        _, phip, _ = horner_pair(pco, False, False)
         return f_ij, fp_ij, fp_ji, phip
 
     def _embed_deriv(self, ei, p_arg):

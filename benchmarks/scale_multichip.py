@@ -69,10 +69,14 @@ def main():
           f"{ {k: int(v) for k, v in se._flags.items() if 'count' in k} }",
           flush=True)
 
-    t0 = time.time()
-    pe = se.potential_energy()
-    print(f"# PE/atom {pe/state.natoms:.4f} eV ({time.time()-t0:.0f}s)",
-          flush=True)
+    if os.environ.get("SCALE_SKIP_PE"):
+        pe = float("nan")
+        print("# PE phase skipped (SCALE_SKIP_PE)", flush=True)
+    else:
+        t0 = time.time()
+        pe = se.potential_energy()
+        print(f"# PE/atom {pe/state.natoms:.4f} eV ({time.time()-t0:.0f}s)",
+              flush=True)
 
     nst = int(os.environ.get("SCALE_STEPS", 4))
     t0 = time.time()

@@ -7,6 +7,8 @@ reproduces that observability for the TPU engine:
 
   * Pair   -> device time inside fused segments (force evaluation dominates)
   * Neigh  -> neighbor rebuilds (host or device)
+  * Comm   -> sharded halo exchange (measured standalone, re-attributed
+              out of Pair per span; zero on single-chip runs)
   * Output -> thermo pulls + formatting
   * Other  -> host orchestration overhead
 

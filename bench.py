@@ -24,9 +24,12 @@ import time
 # silently changes every cache key and this bench recompiles from cold
 # (~135 s of rebuild+segment compiles observed in rounds 2-3).  Scrub to
 # the canonical bench environment BEFORE jax is imported.
-for _k in list(os.environ):
-    if _k.startswith("LPT_"):
-        del os.environ[_k]
+_scrubbed = [_k for _k in os.environ if _k.startswith("LPT_")]
+for _k in _scrubbed:
+    del os.environ[_k]
+if _scrubbed:
+    print(f"# bench env scrub: dropped {sorted(_scrubbed)} — this bench "
+          f"always measures the default path", file=sys.stderr, flush=True)
 if "XLA_FLAGS" in os.environ:
     _kept = [f for f in os.environ["XLA_FLAGS"].split()
              if "host_platform_device_count" not in f]

@@ -9,6 +9,7 @@ per-chip TPU numbers come from bench.py.
 
 Usage: python benchmarks/scale_multichip.py [natoms_millions]
 """
+import math
 import os
 import sys
 import threading
@@ -87,9 +88,14 @@ def main():
           f"({state.natoms*nst/dt:.2e} atom-steps/s on 1 CPU core)",
           flush=True)
     pe2 = se.potential_energy()
-    print(f"# PE/atom after {nst} steps: {pe2/state.natoms:.6f} eV "
-          f"(drift {abs(pe2-pe)/state.natoms/max(nst,1):.3e} "
-          f"eV/step/atom potential-energy change)", flush=True)
+    if math.isfinite(pe):
+        print(f"# PE/atom after {nst} steps: {pe2/state.natoms:.6f} eV "
+              f"(drift {abs(pe2-pe)/state.natoms/max(nst,1):.3e} "
+              f"eV/step/atom potential-energy change)", flush=True)
+    else:
+        # initial PE phase was skipped: no drift to report
+        print(f"# PE/atom after {nst} steps: {pe2/state.natoms:.6f} eV",
+              flush=True)
     st = se.to_state()
     x = np.asarray(st.x)
     assert np.isfinite(x).all()

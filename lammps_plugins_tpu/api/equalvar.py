@@ -12,9 +12,15 @@ Grammar (the subset LAMMPS equal-style offers the reference's use case):
   term    := unary (('*' | '/') unary)*
   unary   := '-' unary | power
   power   := atom ('^' unary)?            (right-associative, LAMMPS pow)
-  atom    := NUMBER | 'time' | 'PI' | v_name | func '(' expr ')'
+  atom    := NUMBER | KEYWORD | 'PI' | v_name | func '(' expr ')'
            | '(' expr ')'
 Functions: sqrt exp ln log(=log10) sin cos tan abs floor ceil.
+Keywords (LAMMPS thermo keywords, Variable::evaluate): time step temp
+press vol pe ke etotal.  `time`-only expressions evaluate from a bare
+scalar; the thermo keywords need an env mapping (the thermo row) — the
+compiled callable accepts either, and exposes `.keywords` so callers
+that cannot supply a thermo context (e.g. fix bfield inside the jitted
+step) can reject such expressions precisely at setup time.
 v_name references resolve recursively through the script's variable table
 (cycles are an error).
 """
@@ -25,6 +31,11 @@ import re
 from typing import Callable, Mapping
 
 import jax.numpy as jnp
+
+# LAMMPS thermo keywords available in equal-style expressions
+# (fix_bfield.cpp:513-519 evaluates arbitrary equal-style variables;
+# Thermo::evaluate_keyword supplies these values)
+_KEYWORDS = ("time", "step", "temp", "press", "vol", "pe", "ke", "etotal")
 
 _TOKEN = re.compile(
     r"\s*(?:(\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)"  # number
@@ -66,11 +77,12 @@ def _tokenize(text: str):
 
 
 class _Parser:
-    def __init__(self, toks, variables: Mapping[str, str], stack):
+    def __init__(self, toks, variables: Mapping[str, str], stack, used):
         self.toks = toks
         self.pos = 0
         self.variables = variables
         self.stack = stack
+        self.used = used          # keywords referenced (shared, mutated)
 
     def peek(self):
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -127,38 +139,49 @@ class _Parser:
     def atom(self):
         kind, val = self.take()
         if kind == "num":
-            return lambda t, v=val: v
+            return lambda env, v=val: v
         if kind == "op" and val == "(":
             f = self.expr()
             self.expect(")")
             return f
         if kind == "name":
-            if val == "time":
-                return lambda t: t
+            if val in _KEYWORDS:
+                self.used.add(val)
+
+                def kw(env, k=val):
+                    try:
+                        return env[k]
+                    except KeyError:
+                        raise EqualVarError(
+                            f"equal-style keyword {k!r} needs a thermo "
+                            f"context; caller supplied only "
+                            f"{sorted(env)}") from None
+                return kw
             if val == "PI":
-                return lambda t: jnp.pi
+                return lambda env: jnp.pi
             if val in _FUNCS:
                 fn = _FUNCS[val]
                 self.expect("(")
                 f = self.expr()
                 self.expect(")")
-                return (lambda g, fn=fn: lambda t: fn(g(t)))(f)
+                return (lambda g, fn=fn: lambda env: fn(g(env)))(f)
             if val.startswith("v_"):
-                return _compile(val[2:], self.variables, self.stack)
+                return _compile(val[2:], self.variables, self.stack,
+                                self.used)
             raise EqualVarError(f"Unknown name {val!r} in equal-style expr")
         raise EqualVarError(f"Unexpected token {val!r}")
 
 
-def _compile(name: str, variables: Mapping[str, str], stack):
+def _compile(name: str, variables: Mapping[str, str], stack, used):
     if name in stack:
         raise EqualVarError(f"Circular variable reference v_{name}")
     if name not in variables:
         raise EqualVarError(f"Undefined variable v_{name}")
-    return _compile_text(variables[name], variables, stack | {name})
+    return _compile_text(variables[name], variables, stack | {name}, used)
 
 
-def _compile_text(text: str, variables, stack):
-    p = _Parser(_tokenize(text), variables, stack)
+def _compile_text(text: str, variables, stack, used):
+    p = _Parser(_tokenize(text), variables, stack, used)
     f = p.expr()
     if p.peek() is not None:
         raise EqualVarError(
@@ -168,5 +191,21 @@ def _compile_text(text: str, variables, stack):
 
 def compile_equal(text: str, variables: Mapping[str, str] = None
                   ) -> Callable:
-    """Compile equal-style text to f(t): works on floats and tracers."""
-    return _compile_text(text, variables or {}, frozenset())
+    """Compile equal-style text to a callable.
+
+    The callable accepts either a bare scalar (float or tracer; bound to
+    the `time` keyword — the fix bfield convention) or a Mapping env with
+    thermo-keyword values (e.g. a thermo row plus "time").  The referenced
+    keywords are exposed as `.keywords` so jit-side callers can reject
+    expressions that would need per-step thermo values they cannot supply.
+    """
+    used: set = set()
+    f = _compile_text(text, variables or {}, frozenset(), used)
+
+    def call(t_or_env):
+        if isinstance(t_or_env, Mapping):
+            return f(t_or_env)
+        return f({"time": t_or_env})
+
+    call.keywords = frozenset(used)
+    return call

@@ -576,8 +576,19 @@ class Script:
                     name = comp[2:]
                     if name not in self.variables:
                         raise ScriptError(f"Undefined variable v_{name}")
-                    b.append(compile_equal(self.variables[name],
-                                           self.variables))
+                    fn = compile_equal(self.variables[name],
+                                       self.variables)
+                    bad = fn.keywords - {"time"}
+                    if bad:
+                        # the fix evaluates B inside the jitted step, where
+                        # only `time` is available; thermo keywords would
+                        # need per-step global reductions the reference
+                        # also cannot provide at this hook
+                        raise ScriptError(
+                            f"fix bfield variable v_{name} uses thermo "
+                            f"keyword(s) {sorted(bad)}; only `time` is "
+                            f"available in a bfield variable")
+                    b.append(fn)
                 else:
                     b.append(float(comp))
             region = None
@@ -666,6 +677,47 @@ class Script:
                 m = state.per_atom_mass
                 return 0.5 * self.units.mvv2e * m \
                     * jnp.sum(state.v ** 2, axis=1)
+        elif style == "stress/atom":
+            # compute ID group stress/atom NULL — per-atom stress tensor
+            # in pressure*volume units (LAMMPS ComputeStressAtom):
+            # S_i = -(m v⊗v + vatom_i) * nktv2p, six components
+            # xx yy zz xy xz yz accessed as c_ID[1..6].  vatom comes from
+            # the pair style's edge-cotangent per-atom virial
+            # (potentials/base.py edge_virial_peratom; the v_tally family,
+            # pair_rebomos.cpp:710,725, pair_aeam.cpp:472).  Only the
+            # kinetic + pair virial terms exist here (no bond/angle/
+            # kspace styles in this framework); the optional temp-ID
+            # argument must be NULL.
+            if len(args) > 3 and args[3] not in ("NULL",):
+                raise ScriptError(
+                    "compute stress/atom: only `NULL` temp-ID supported")
+
+            def raw6(state):
+                import jax.numpy as jnp
+                eng = self.engine
+                vat = eng.pair.virial_peratom(state.x, state.type,
+                                              eng.nbr, state.box.h)
+                m = state.per_atom_mass
+                v = state.v
+                kin = self.units.mvv2e * jnp.stack(
+                    [m * v[:, 0] * v[:, 0], m * v[:, 1] * v[:, 1],
+                     m * v[:, 2] * v[:, 2], m * v[:, 0] * v[:, 1],
+                     m * v[:, 0] * v[:, 2], m * v[:, 1] * v[:, 2]],
+                    axis=1)
+                return -(kin + vat) * self.units.nktv2p
+
+            if not hasattr(self, "computes"):
+                self.computes = {}
+
+            for k in range(1, 7):
+                def comp_k(state, _k=k, _g=gmask):
+                    import jax.numpy as jnp
+                    out = raw6(state)[:, _k - 1]
+                    if _g is not None:
+                        out = jnp.where(jnp.asarray(_g), out, 0.0)
+                    return out
+                self.computes[f"c_{cid}[{k}]"] = comp_k
+            return
         elif style == "msd":
             # compute msd — global 4-vector (dx2, dy2, dz2, total), averaged
             # over the group, from UNWRAPPED displacements since the compute
@@ -938,6 +990,26 @@ class Script:
             v = vc(st)
             return float(v[-1] if k is None else v[k - 1])
 
+        var_cols = {}
+        for c in self.thermo_cols:
+            if c.startswith("v_"):
+                # equal-style variable thermo columns, evaluated against
+                # the thermo row (LAMMPS Thermo::compute_variable; the
+                # keyword env closes the documented equalvar boundary)
+                from .equalvar import compile_equal
+                name = c[2:]
+                if name not in self.variables:
+                    raise ScriptError(f"Undefined variable v_{name}")
+                var_cols[c] = compile_equal(self.variables[name],
+                                            self.variables)
+
+        def var_output(col, row):
+            env = dict(row)
+            env.setdefault("time", row.get("step", 0) * float(eng.ctx.dt))
+            env["etotal"] = row.get("etotal",
+                                    row.get("pe", 0.0) + row.get("ke", 0.0))
+            return float(var_cols[col](env))
+
         def on_thermo(row):
             vals = []
             for c in self.thermo_cols:
@@ -945,6 +1017,8 @@ class Script:
                     v = compute_output(c)
                 elif c.startswith("f_"):
                     v = fix_output(c)
+                elif c in var_cols:
+                    v = var_output(c, row)
                 else:
                     key = self._COLMAP.get(c, c)
                     v = row.get(key, 0.0) if key else 0.0

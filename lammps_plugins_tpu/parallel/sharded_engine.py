@@ -728,6 +728,7 @@ class ShardedEngine:
         self._ev_jit = None
         self._force_jit = None
         self._pe_jit = None
+        self._comm_cost = None      # halo capacities changed: re-probe
 
     # -- hot step ----------------------------------------------------------
     def _local_state(self, ss):
@@ -872,7 +873,13 @@ class ShardedEngine:
             out_specs=spec, **_smap_kwargs()))
 
     def _comm_cost_estimate(self) -> float:
-        """Measured warm per-step halo-exchange cost (seconds)."""
+        """Measured warm per-step halo-exchange cost (seconds).
+
+        This is a STANDALONE-PROBE estimate: the probe cannot observe any
+        overlap of halo exchange with compute inside the fused segment,
+        so the Comm row it feeds is an upper bound, not a direct in-step
+        measurement (the other timer sections are).  Invalidated whenever
+        halo capacities or the plan change (`_resize_from_flags`)."""
         cost = getattr(self, "_comm_cost", None)
         if cost is not None:
             return cost

@@ -166,6 +166,11 @@ class AEAM(PairStyle):
                     rows21[i * nel + j, :, 14:21] = rhor[j * nel + i]
             self.pair_flat21 = as_d(rows21.reshape(-1, 21))
         self.poly = None
+        if self.poly_mode and nel > 2:
+            # _poly_pair_terms combines per-element-code tables bilinearly,
+            # which is exact only for element codes in {0, 1}; a 3+-element
+            # file would silently extrapolate clamped corner tables
+            self.poly_mode = False
         if self.poly_mode and self._sym_grids:
             from .polyfit import fit_aeam_polys
             self.poly = fit_aeam_polys(t, rhor, z2r, z2r_map)
@@ -450,6 +455,31 @@ class AEAM(PairStyle):
         gx, gy, gz = vjp(jnp.ones((), x.dtype) + 0.0 * x[0, 0])
         return mirror_combine(gx, gy, gz, main)
 
+    def virial_peratom(self, x, types, nbr: NeighborData, h):
+        """Per-atom virial (vatom) via the edge-cotangent decomposition
+        over the main list — the density, embedding, angular, and pair
+        terms all enter through the edge displacement set, so one vjp
+        covers the whole ev_tally/ev_tally3 family (pair_aeam.cpp:393,472).
+        Σ_i vatom_i == the global strain-derivative virial exactly."""
+        from .base import edge_virial_peratom
+        ghosts = nbr.ghosts
+        main = nbr.lists["main"]
+        el_own = self.typemap[types]
+        el_all = self.typemap[ghosts.all_types(types)]
+        n = x.shape[0]
+        dx, dy, dz, _, _ = edge_components(x, ghosts, main, h, None,
+                                           row_gather=True)
+
+        def e_of_d(dx_, dy_, dz_):
+            rsq = jnp.where(main.mask, dx_ * dx_ + dy_ * dy_ + dz_ * dz_,
+                            1.0)
+            return self._energy_core(dx_, dy_, dz_, rsq, main.mask,
+                                     el_own, el_all, main)
+
+        _, vjp = jax.vjp(e_of_d, dx, dy, dz)
+        g = vjp(jnp.ones((), x.dtype))
+        return edge_virial_peratom((dx, dy, dz), g, main, ghosts, n)
+
     # -- gather-free piecewise-polynomial pair terms (poly_mode) ----------
     def _poly_chain(self, code, shape, coefs):
         """Per-edge power-basis coefficients via a select chain over the
@@ -479,6 +509,8 @@ class AEAM(PairStyle):
         replaces (the chains were ~1.2k VPU ops per edge, the single
         hottest item of the AEAM step at K=176)."""
         from .polyfit import U0, NSEG, DEG
+        assert self.nel <= 2, \
+            "poly_mode bilinear combine requires element codes in {0, 1}"
         inv_cut = 1.0 / cut_ij
         u = r * inv_cut
         t = (u - U0) * (NSEG / (1.0 - U0))

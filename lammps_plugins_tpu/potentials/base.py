@@ -28,6 +28,33 @@ import numpy as np
 from ..neighbor.build import NeighborData
 
 
+def edge_virial_peratom(dxyz, gxyz, nlist, ghosts, n):
+    """[n, 6] per-atom virial from per-edge displacements and cotangents.
+
+    Per-edge tensor v_e = -(d_e ⊗ G_e) under the strain convention of
+    `edge_components` (d'_a = d_a + Σ_b d_b·strain[b,a]), so
+    Σ_e v_e equals the global strain-derivative virial EXACTLY — the
+    per-atom tally is ev_tally's half-half pair split generalized to
+    many-body cotangents.  The reference instead distributes 3-body
+    terms in thirds (v_tally3, pair_rebomos.cpp:710,725; v_tally2
+    :725,843; pair_aeam.cpp:472): per-atom values differ by that split
+    convention, the totals are identical (same class of decomposition;
+    cf. the documented pe/atom p_ij split deviation).
+    Component order: xx, yy, zz, xy, xz, yz (LAMMPS vatom order).
+    """
+    dx, dy, dz = dxyz
+    gx, gy, gz = gxyz
+    live = nlist.mask
+    comps = (dx * gx, dy * gy, dz * gz, dx * gy, dx * gz, dy * gz)
+    per_edge = jnp.stack(
+        [jnp.where(live, -c, 0.0) for c in comps], axis=-1)  # [N,K,6]
+    vat = 0.5 * jnp.sum(per_edge, axis=1)
+    owner_all = jnp.concatenate(
+        [jnp.arange(n, dtype=ghosts.owner.dtype), ghosts.owner])
+    j_owner = owner_all[nlist.idx]
+    return vat.at[j_owner.reshape(-1)].add(0.5 * per_edge.reshape(-1, 6))
+
+
 class PairStyle:
     """Base class: subclasses implement neighbor_requests() and energy()."""
 
@@ -128,6 +155,15 @@ class PairStyle:
         the per-step work is pure -dE/dx and (E, W) are evaluated once per
         thermo row instead (run/simulation.py)."""
         return -jax.grad(lambda x_: self.energy(x_, None, types, nbr, h))(x)
+
+    def virial_peratom(self, x, types, nbr, h):
+        """[N, 6] per-atom virial (vatom; the ev_tally/v_tally per-atom
+        accumulation contract, SURVEY §2.4).  Sums to the global
+        strain-derivative virial exactly; see edge_virial_peratom for the
+        split convention.  Diagnostics path (compute stress/atom, dumps)
+        — not the hot loop."""
+        raise NotImplementedError(
+            f"pair_style {self.name} does not implement per-atom virial")
 
 
 # registries live in ..registry (shared with fixes); re-exported here

@@ -133,6 +133,28 @@ class PairLJCut(PairStyle):
         e = r6inv * (lj3[flat] * r6inv - lj4[flat])
         return jnp.where(mask & (rsq < cutsq[flat]), e, 0.0)
 
+    def virial_peratom(self, x, types, nbr: NeighborData, h):
+        """Per-atom virial via the edge-cotangent decomposition over the
+        main list (ev_tally half-half split; potentials/base.py)."""
+        import jax
+        from .base import edge_virial_peratom
+        nlist = nbr.lists["main"]
+        n = x.shape[0]
+        dx, dy, dz, _, mask = edge_components(x, nbr.ghosts, nlist, h,
+                                              None)
+
+        def e_of_d(dx_, dy_, dz_):
+            rsq_ = jnp.where(mask, dx_ * dx_ + dy_ * dy_ + dz_ * dz_, 1.0)
+            return self._edge_energy_sum(x, rsq_, mask, types, nbr, nlist)
+
+        _, vjp = jax.vjp(e_of_d, dx, dy, dz)
+        g = vjp(jnp.ones((), x.dtype))
+        return edge_virial_peratom((dx, dy, dz), g, nlist, nbr.ghosts, n)
+
+    def _edge_energy_sum(self, x, rsq, mask, types, nbr, nlist):
+        flat = self._edge_flat_types(types, nbr, nlist)
+        return 0.5 * jnp.sum(self._pair_energy(rsq, mask, flat))
+
 
 @register_pair_style("lj/cut/coul/cut")
 class PairLJCutCoulCut(PairLJCut):
@@ -169,6 +191,15 @@ class PairLJCutCoulCut(PairLJCut):
 
     def _interaction_cut(self) -> np.ndarray:
         return np.maximum(self._cut, self.cut_coul)
+
+    def _edge_energy_sum(self, x, rsq, mask, types, nbr, nlist):
+        flat = self._edge_flat_types(types, nbr, nlist)
+        e = self._pair_energy(rsq, mask, flat)
+        q_all = jnp.concatenate([self._q, self._q[nbr.ghosts.owner]])
+        qq = self._q[:, None] * q_all[nlist.idx]
+        ecoul = self.qqr2e * qq / jnp.sqrt(rsq)
+        e = e + jnp.where(mask & (rsq < self.cut_coul ** 2), ecoul, 0.0)
+        return 0.5 * jnp.sum(e)
 
     def energy(self, x, strain, types, nbr: NeighborData, h,
                center_mask=None):

@@ -983,6 +983,113 @@ class REBOMoS(PairStyle):
             eat = eat + self._lj_peratom_cells(x, ghosts, nbr.cells, h, n)
         return eat
 
+    def virial_peratom(self, x, types, nbr: NeighborData, h):
+        """Per-atom virial (vatom): REBO tier via the edge-cotangent
+        decomposition, LJ tier via the master list (same) or the analytic
+        per-pair cell sweep.  Σ_i vatom_i == energy_virial()'s W exactly
+        (tested); per-atom split convention documented in
+        edge_virial_peratom (v_tally3/v_tally2, pair_rebomos.cpp:710,725).
+        """
+        from .base import edge_virial_peratom
+        ghosts = nbr.ghosts
+        rebo = nbr.lists["rebo"]
+        master = nbr.lists.get("master")
+        el_own = self.typemap[types]
+        el_all = self.typemap[ghosts.all_types(types)]
+        n = x.shape[0]
+        z = None
+        dx, dy, dz, _, _ = edge_components(x, ghosts, rebo, h, z,
+                                           row_gather=True)
+
+        def e_rebo(dx_, dy_, dz_):
+            rsq_ = jnp.where(rebo.mask, dx_ * dx_ + dy_ * dy_ + dz_ * dz_,
+                             1.0)
+            return self._rebo_energy_core(dx_, dy_, dz_, rsq_, rebo.mask,
+                                          rebo, el_own, el_all)
+
+        _, vjp = jax.vjp(e_rebo, dx, dy, dz)
+        g = vjp(jnp.ones((), x.dtype))
+        vat = edge_virial_peratom((dx, dy, dz), g, rebo, ghosts, n)
+
+        if master is not None:
+            dx, dy, dz, _, mask = edge_components(x, ghosts, master, h, z)
+            ej = self._jel(master, el_all)
+
+            def e_lj(dx_, dy_, dz_):
+                rsq_ = jnp.where(mask, dx_ * dx_ + dy_ * dy_ + dz_ * dz_,
+                                 1.0)
+                vlj = self._vlj(el_own[:, None], ej, jnp.sqrt(rsq_), rsq_)
+                return 0.5 * jnp.sum(jnp.where(mask, vlj, 0.0))
+
+            _, vjp = jax.vjp(e_lj, dx, dy, dz)
+            g = vjp(jnp.ones((), x.dtype))
+            vat = vat + edge_virial_peratom((dx, dy, dz), g, master,
+                                            ghosts, n)
+        else:
+            vat = vat + self._lj_virial_cells(x, ghosts, nbr.cells, h, n)
+        return vat
+
+    def _lj_virial_cells(self, x, ghosts, cells, h, n):
+        """Per-atom LJ virial over the half-offset cell decomposition.
+
+        Per unordered pair instance the tensor w·fpair·(d ⊗ d) (the exact
+        strain derivative of that pair's energy term in _lj_energy_cells)
+        is tallied with the same endpoint-ownership split as
+        _lj_peratom_cells."""
+        x_all = ghosts.all_positions(x, h)
+        m_all = x_all.shape[0]
+        xpad = jnp.concatenate([x_all, jnp.full((1, 3), 1e7, x.dtype)],
+                               axis=0)
+        cxs = [xpad[:, a][cells.table] for a in range(3)]
+        cel = jnp.zeros(cells.jtype.shape, jnp.int32)
+        for t_ in range(1, len(self.typemap_np)):
+            cel = jnp.where(cells.jtype == t_, int(self.typemap_np[t_]), cel)
+        valid = cells.table < m_all
+        ownedf = jnp.where(cells.table < cells.n_owned,
+                           jnp.asarray(1.0, x.dtype), 0.0)
+        ncells = cells.nbr_map.shape[0]
+        noffs = cells.nbr_map.shape[1]
+        scale = jnp.full((noffs,), 0.5, x.dtype).at[0].set(0.25)
+        aid = cells.table[:ncells]
+        aval = valid[:ncells]
+        a_tgt = jnp.where(aval, aid, 0)
+        a_tgt = jnp.where(a_tgt < n, a_tgt, 0)
+
+        @jax.checkpoint
+        def one_offset(vat, xs):
+            nb_col, s = xs
+            bxs = [c[nb_col] for c in cxs]
+            bel = cel[nb_col]
+            bval = valid[nb_col]
+            bid = cells.table[nb_col]
+            bown = ownedf[nb_col]
+            axs = [c[:ncells] for c in cxs]
+            ael = cel[:ncells]
+            aown = ownedf[:ncells]
+            d = [bxs[a][:, None, :] - axs[a][:, :, None] for a in range(3)]
+            rsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            pmask = (aval[:, :, None] & bval[:, None, :]
+                     & (aid[:, :, None] != bid[:, None, :]))
+            rsq = jnp.where(pmask, rsq, 1.0)
+            fp = jnp.where(pmask, self._fpair_lj(ael[:, :, None],
+                                                 bel[:, None, :],
+                                                 jnp.sqrt(rsq), rsq), 0.0)
+            comps = (d[0] * d[0], d[1] * d[1], d[2] * d[2],
+                     d[0] * d[1], d[0] * d[2], d[1] * d[2])
+            b_tgt = jnp.where(bval & (bid < n), bid, 0)
+            for ci, dd in enumerate(comps):
+                t = fp * dd
+                vat = vat.at[a_tgt.reshape(-1), ci].add(
+                    jnp.sum(s * aown[:, :, None] * t, axis=2).reshape(-1))
+                vat = vat.at[b_tgt.reshape(-1), ci].add(
+                    jnp.sum(s * bown[:, None, :] * t, axis=1).reshape(-1))
+            return vat, None
+
+        vat, _ = jax.lax.scan(one_offset,
+                              jnp.zeros((n, 6), x.dtype) + 0.0 * x[0, 0],
+                              (cells.nbr_map.T, scale))
+        return vat
+
     def _lj_peratom_cells(self, x, ghosts, cells, h, n):
         """Per-atom LJ from the half-offset cell decomposition (ev_tally
         half-half split: each unordered pair instance puts vlj/2 on each

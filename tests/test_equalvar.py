@@ -150,3 +150,68 @@ mass 1 26.98
 """)
     with pytest.raises(ScriptError, match="langevin keywords"):
         s.command("fix 1 all langevin 300 300 0.1 48279 zero yes")
+
+
+def test_thermo_keywords_env_and_detection():
+    """step/temp/press/vol/pe/ke/etotal keywords (Thermo::evaluate_keyword
+    via Variable::evaluate): env-mapping evaluation + .keywords detection
+    + precise error when only `time` is available."""
+    f = compile_equal("press*vol/2 + step")
+    assert f.keywords == {"press", "vol", "step"}
+    assert float(f({"press": 10.0, "vol": 4.0, "step": 3})) == 23.0
+    # keyword sets propagate through v_ references
+    g = compile_equal("v_a + time", {"a": "temp*2"})
+    assert g.keywords == {"temp", "time"}
+    assert float(g({"temp": 5.0, "time": 1.5})) == 11.5
+    # a bare scalar supplies only `time`
+    assert float(compile_equal("time*2")(3.0)) == 6.0
+    with pytest.raises(EqualVarError, match="thermo context"):
+        compile_equal("temp*2")(3.0)
+
+
+def test_bfield_rejects_thermo_keyword_variable():
+    s = Script(log=lambda _: None)
+    s.run_text("""
+units metal
+atom_style charge
+boundary p p p
+region box block 0 10 0 10 0 10 units box
+create_box 1 box
+create_atoms 1 single 5 5 5 units box
+mass 1 1.0
+set type 1 charge 1.0
+pair_style none
+variable hot equal temp*0.1
+""")
+    with pytest.raises(ScriptError, match="thermo keyword"):
+        s.command("fix 1 all bfield 0 0 v_hot")
+
+
+def test_thermo_style_variable_column():
+    """`thermo_style custom ... v_name` evaluates the equal-style variable
+    against the thermo row (the closed config-system boundary)."""
+    lines = []
+    s = Script(log=lines.append)
+    s.run_text("""
+units metal
+atom_style charge
+boundary p p p
+region box block 0 20 0 20 0 20 units box
+create_box 1 box
+create_atoms 1 single 10 10 10 units box
+mass 1 1.0
+pair_style none
+timestep 0.001
+velocity all set 1.0 0 0
+fix 1 all nve
+variable pv equal press*vol+step
+thermo_style custom step press vol v_pv
+thermo 5
+run 10
+""")
+    rows = [ln.split() for ln in lines
+            if ln.strip() and ln.split()[0].isdigit()]
+    assert rows, f"no thermo rows in {lines}"
+    for r in rows:
+        step, press, vol, pv = (float(v) for v in r[:4])
+        assert pv == pytest.approx(press * vol + step, rel=1e-6)

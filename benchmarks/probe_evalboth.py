@@ -1,0 +1,138 @@
+"""Probe: evaluate-both-sides cell/list-form REBO — the data-movement core.
+
+Round-4 verdict item #2: the one structural alternative to the mirror-edge
+reaction gather still unmeasured.  Evaluate-both-sides computes each owned
+atom's FULL force from locally gathered context (the reference's
+ghost-recompute precedent, pair_rebomos.cpp:304): for the wing/coordination
+terms of edges (j -> i), atom i needs neighbor-of-neighbor displacements
+d_{j,l} for every j in its row and l in j's row.
+
+Key reduction (translation invariance): a ghost j's displacement row equals
+its OWNER's row, so the 2-hop data for all (i, k) edges is ONE row gather
+    rows2[k*Np + i, :] = Drow[owner(idx[i,k]), :]
+from an interleaved per-atom displacement table Drow [Np, 3K] built once
+per step from the (already produced) [K, Np] displacement planes.  The
+candidate formulation therefore costs, per step, at minimum:
+  (a) the Drow interleave ([K, Np] x3 -> [Np, 3K] transpose/relayout),
+  (b) the 2M-index row gather of 3K-wide rows (the probe's main number),
+  (c) a wing-term kernel over [K, K] triples per atom (~2x the measured
+      2.2 ms angular kernel), and it DELETES the 10.1 + 1.3 ms mirror
+      combine plus ~1.3 ms of the current relayout.
+This probe measures (a) and (b) standalone on the bench-shaped arrays; the
+decision threshold is (a)+(b) ~< 7 ms (then the full formulation could
+break even against the mirror combine and is worth building).
+"""
+
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _watchdog(seconds):
+    time.sleep(seconds)
+    print("# watchdog: clean exit", flush=True)
+    os._exit(0)
+
+
+def bench_op(f, *args, reps=10):
+    import jax
+    out = f(*args)
+    jax.block_until_ready(out)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = f(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    np.asarray(jax.device_put(np.ones(8, np.float32)))
+    print("# warmed", flush=True)
+
+    N, K = 98304, 20
+    Np = N
+    rng = np.random.default_rng(0)
+    # bench-realistic neighbor structure: indices are spatially local
+    # (cell-scan order): neighbor ids within a +-600 band of the center
+    idx = (np.arange(N)[:, None]
+           + rng.integers(-600, 600, size=(N, K))) % N
+    idxT = jnp.asarray(np.ascontiguousarray(idx.T), jnp.int32)   # [K, Np]
+    gx = jnp.asarray(rng.standard_normal((K, Np)), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((K, Np)), jnp.float32)
+    gz = jnp.asarray(rng.standard_normal((K, Np)), jnp.float32)
+
+    # (a) interleave: [K, Np] x3 -> Drow [Np, 3K] (row-major, rows = atoms)
+    @jax.jit
+    def interleave(gx, gy, gz):
+        return jnp.concatenate(
+            [jnp.swapaxes(gx, 0, 1), jnp.swapaxes(gy, 0, 1),
+         jnp.swapaxes(gz, 0, 1)], axis=1)
+
+    t = bench_op(interleave, gx, gy, gz)
+    print(f"# (a) interleave [K,Np]x3 -> [Np,{3*K}]: {t*1e3:.2f} ms",
+          flush=True)
+    Drow = interleave(gx, gy, gz)
+
+    # pad to 64-wide rows (tile-friendly) and compare
+    @jax.jit
+    def interleave64(gx, gy, gz):
+        D = jnp.concatenate(
+            [jnp.swapaxes(gx, 0, 1), jnp.swapaxes(gy, 0, 1),
+             jnp.swapaxes(gz, 0, 1),
+             jnp.zeros((Np, 64 - 3 * K), jnp.float32)], axis=1)
+        return D
+
+    t = bench_op(interleave64, gx, gy, gz)
+    print(f"# (a') interleave+pad -> [Np,64]: {t*1e3:.2f} ms", flush=True)
+    Drow64 = interleave64(gx, gy, gz)
+
+    # (b) the 2-hop row gather: 2M indices, 3K(->64)-wide rows
+    flat = idxT.reshape(-1)
+
+    @jax.jit
+    def gather_rows(D, flat):
+        return D[flat]
+
+    for D, tag in ((Drow, f"[Np,{3*K}]"), (Drow64, "[Np,64]")):
+        t = bench_op(gather_rows, D, flat)
+        print(f"# (b) 2-hop row gather {K*Np} idx from {tag} "
+              f"({D.nbytes/2**20:.1f} MB): {t*1e3:.2f} ms", flush=True)
+
+    # (b2) list-form element-gather alternative: [K,K,Np] per component
+    # (the naive formulation, for the record)
+    @jax.jit
+    def gather_khop(gx, idxT):
+        return gx.T[idxT.reshape(-1)]        # [K*Np, K] rows
+
+    t = bench_op(gather_khop, gx, idxT)
+    print(f"# (b2) per-component [Np,K]-table row gather x1 "
+          f"(x3 for xyz): {t*1e3:.2f} ms", flush=True)
+
+    # context: the mirror combine this would replace (same index count,
+    # element-class gather from the [K*Np, 3] cotangent table)
+    tbl = jnp.asarray(rng.standard_normal((K * Np, 3)), jnp.float32)
+    mir = jnp.asarray(rng.permutation(K * Np).astype(np.int32))
+
+    @jax.jit
+    def mirror_gather(tbl, mir):
+        return tbl[mir]
+
+    t = bench_op(mirror_gather, tbl, mir)
+    print(f"# (ref) mirror-style gather {K*Np} idx from [K*Np,3]: "
+          f"{t*1e3:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    threading.Thread(target=_watchdog, args=(900,), daemon=True).start()
+    main()
+    os._exit(0)

@@ -31,6 +31,7 @@ overflow, pair_rebomos.cpp:349-350).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Dict, Tuple
 
@@ -673,6 +674,20 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
         tmp4 = xt_pad[dense_f]                       # [ncf+2, Cf, 4]
         tf = tmp4[..., 3].astype(jnp.int32)          # [ncf+2, Cf]
         planes = [tmp4[..., a] for a in range(3)]
+        # packed candidate table [ncf+2, 5*Cf]: (x | y | z | type | id)
+        # blocks, so the per-chunk candidate assembly is ONE row gather
+        # (cost is per-index; row width is nearly free) instead of five —
+        # profiled ~19 ms of gathers + ~11 ms of per-array reshapes per
+        # rebuild at 98k atoms for the five-array form.  Ids ride as f32
+        # (exact below 2^24, same bound as the select_k payloads);
+        # larger row spaces keep the five-array form.
+        use_packed = m_all < 2 ** 24 and os.environ.get(
+            "LPT_PACKCAND", "1") not in ("0", "off")
+        if use_packed:
+            idf = jnp.where(dense_f < m_all, dense_f, m_all).astype(dtype)
+            packed5 = jnp.concatenate(
+                [tmp4[..., 0], tmp4[..., 1], tmp4[..., 2],
+                 tmp4[..., 3], idf], axis=1)         # [ncf+2, 5*Cf]
 
         # ghost shift slots for the mirror-edge table (slot 0 = identity)
         sidx_ghost = jnp.where(ghost_valid, sidx_from_sel, 0)
@@ -702,13 +717,29 @@ def device_rebuild(plan: RebuildPlan, x, image, types, h, h_inv, lo,
 
         def chunk_body(args):
             ncid_c, xw_c, t_c, rid_c = args
-            cand = dense_f[ncid_c].reshape(CH, W)
-            cand_t = tf[ncid_c].reshape(CH, W)
-            rsq = jnp.zeros((CH, W), dtype)
-            for a in range(3):
-                da = planes[a][ncid_c].reshape(CH, W) - xw_c[:, a][:, None]
-                rsq = rsq + da * da
-            valid = (cand < m_all) & (cand != rid_c[:, None])
+            if use_packed:
+                # ONE row gather of the packed (x|y|z|t|id) rows, then
+                # per-component slice+reshape extraction; ids and types
+                # stay f32 all the way into select_k's payload slots
+                g = packed5[ncid_c]                  # [CH, 27, 5*Cf]
+                comp = [g[:, :, a * Cf:(a + 1) * Cf].reshape(CH, W)
+                        for a in range(5)]
+                cand, cand_t = comp[4], comp[3]
+                rsq = jnp.zeros((CH, W), dtype)
+                for a in range(3):
+                    da = comp[a] - xw_c[:, a][:, None]
+                    rsq = rsq + da * da
+                valid = (cand < m_all) \
+                    & (cand != rid_c[:, None].astype(dtype))
+            else:
+                cand = dense_f[ncid_c].reshape(CH, W)
+                cand_t = tf[ncid_c].reshape(CH, W)
+                rsq = jnp.zeros((CH, W), dtype)
+                for a in range(3):
+                    da = planes[a][ncid_c].reshape(CH, W) \
+                        - xw_c[:, a][:, None]
+                    rsq = rsq + da * da
+                valid = (cand < m_all) & (cand != rid_c[:, None])
             ti = t_c[:, None]
             out = []
             for name, K in plan.k_caps:

@@ -568,6 +568,37 @@ class REBOMoS(PairStyle):
 
         consts_key = tuple(sorted(self._rebo_consts.items()))
         mir_mode = os.environ.get("LPT_MIR", "")
+        if mir_mode == "" and rebo.mirT is not None and 3 * K <= 128 \
+                and rebo.route is None and rebo.mirW is None:
+            mir_mode = "rowfetch"
+        if mir_mode == "rowfetch":
+            # ROW-FETCH combine (round-5 default): gather each edge's
+            # whole mirror ROW (Wr-wide, the per-INDEX row-gather class:
+            # 4.7 ms for 2M idx at 98k atoms, probe_evalboth — width-
+            # insensitive 64->128) from a layout-pinned atom-major
+            # [Np, Wr] table, then select the reverse-edge slot in an
+            # opaque Pallas consumer.  Replaces the 10.1 + 1.3 ms
+            # element-class mirror gather: the index count drops 3x
+            # (rows vs elements) and the atom-major table transpose
+            # costs ~1.1 ms.  jcol/lslot derive from the rebuild-time
+            # mirT, so XLA hoists them out of the step loop.
+            from ..ops.mirror_pallas import mirror_combine_rowfetch
+            from ..ops.pin_rows import _pin_call
+            gx, gy, gz = _rebo_call(dxT, dyT, dzT, jelT, mskT, eiT,
+                                    consts_key=consts_key,
+                                    interpret=interpret)
+            Wr = 64 if 3 * K <= 64 else 128
+            stacked = jnp.concatenate(
+                [gx, gy, gz,
+                 jnp.zeros((Wr - 3 * K, Np), dtype)], axis=0)
+            grow = _pin_call(jnp.swapaxes(stacked, 0, 1),
+                             interpret=interpret)        # [Np, Wr] pinned
+            jcol = mirT % Np
+            lslot = (mirT // Np).astype(dtype)
+            rows2 = grow[jcol.reshape(-1)].reshape(K, Np, Wr)
+            F8 = mirror_combine_rowfetch(gx, gy, gz, rows2, lslot, mirvT,
+                                         interpret=interpret)
+            return jnp.stack([F8[0], F8[1], F8[2]], axis=-1)[:N]
         if mir_mode == "pk":
             # Pallas-consumer combine: the kernel emits the interleaved
             # [K, Np, 4] cotangent table alongside the planes; the mirror

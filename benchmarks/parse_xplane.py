@@ -2,7 +2,8 @@
 import sys, glob, collections
 from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-path = sorted(glob.glob("/tmp/jtrace_rebuild/**/*.xplane.pb", recursive=True))[-1]
+root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jtrace_rebuild"
+path = sorted(glob.glob(root + "/**/*.xplane.pb", recursive=True))[-1]
 xs = xplane_pb2.XSpace()
 xs.ParseFromString(open(path, "rb").read())
 
@@ -23,5 +24,5 @@ for plane in xs.planes:
         print(f"== plane: {plane.name}  lines: {[l.name for l in plane.lines]}")
         tot = sum(agg.values())
         print(f"total op time: {tot:.1f} ms")
-        for name, ms in agg.most_common(45):
+        for name, ms in agg.most_common(int(sys.argv[2]) if len(sys.argv) > 2 else 45):
             print(f"{ms:9.2f} ms  x{cnt[name]:<5d} {name[:110]}")

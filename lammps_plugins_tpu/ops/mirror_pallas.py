@@ -50,6 +50,11 @@ def _make_rowfetch_kernel(K: int, NB: int, Wr: int):
         mv = mv_ref[...]                     # [K, NB] validity (0/1)
         ls = ls_ref[...]                     # [K, NB] mirror slot (f32)
         r2 = r2_ref[...]                     # [K, NB, Wr]
+        # Full-width masked reduces: 3 x (cmp + select + sum over Wr).
+        # A single mod-K compare + three static 20-lane window reduces
+        # was tried and measured SLOWER in situ (3.83 vs 3.97e6 best at
+        # 98k atoms): unaligned lane-window slices cost Mosaic more than
+        # the extra full-width compares save.
         li = jax.lax.broadcasted_iota(jnp.int32, (K, NB, Wr), 2) \
             .astype(gx.dtype)
         d = li - ls[:, :, None]

@@ -569,7 +569,12 @@ class REBOMoS(PairStyle):
         consts_key = tuple(sorted(self._rebo_consts.items()))
         mir_mode = os.environ.get("LPT_MIR", "")
         if mir_mode == "" and rebo.mirT is not None and 3 * K <= 128 \
+                and Np <= 262144 \
                 and rebo.route is None and rebo.mirW is None:
+            # Np cap: at ~1M atoms the [Np, Wr] table (512 MB) is far
+            # above the gather-class cliff (~6.5 ns/idx) and the select
+            # kernel scales with K*Wr — the element-gather combine wins
+            # back there (monolayer accounting, ARCHITECTURE.md)
             mir_mode = "rowfetch"
         if mir_mode == "rowfetch":
             # ROW-FETCH combine (round-5 default): gather each edge's

@@ -35,7 +35,7 @@ def main():
     # fused device loop (one host sync per rep)
     steps = int(os.environ.get("AEAM_STEPS", 48))
     reps = int(os.environ.get("AEAM_REPS", 3))
-    skin = float(os.environ.get("AEAM_SKIN", 1.0))
+    skin = float(os.environ.get("AEAM_SKIN", 1.2))
 
     import numpy as np
     import jax

@@ -124,7 +124,7 @@ def main():
     # 0.9 -> 4.06 (K=16 overflows mid-run once), 1.0 -> 3.97 (K=20).
     # 0.8 balances the K=16 kernel/gather savings against rebuild cadence.
     skin = float(os.environ.get("BENCH_SKIN", 0.8))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    reps = int(os.environ.get("BENCH_REPS", 5))   # reps differ by rebuild placement; 5 samples the 0-rebuild case
 
     import numpy as np
     import jax
